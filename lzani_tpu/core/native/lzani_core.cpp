@@ -1,0 +1,771 @@
+// ============================================================================
+// lzani_core.cpp — host-side exact LZ-similarity engine for the TPU-native
+// LZ-ANI framework.
+//
+// Roles:
+//   (a) CPU production backend (threaded all-vs-all driver), and
+//   (b) the bit-exact oracle that the JAX/Pallas device kernels are
+//       validated against.
+//
+// This is an original implementation. Semantics follow the published
+// behaviour of refresh-bio/LZ-ANI (reference mounted at /root/reference);
+// each stage cites the reference location whose observable behaviour it
+// reproduces:
+//   * buffers/codes .......... parser.cpp:16-50, defs.h:24-30
+//   * k-mer streams .......... parser.cpp:53-103
+//   * anchor hash table ...... parser.cpp:146-189 (murmur-mix, parser.h:98-107)
+//   * seed bucket table ...... parser.cpp:106-143
+//   * greedy parse ........... parser.cpp:482-716
+//   * stats / regions ........ parser.cpp:734-837
+//   * all2all scheduling ..... lz_matcher.cpp:172-277
+//
+// Build: g++ -O3 -std=c++20 -shared -fPIC -o liblzani_core.so lzani_core.cpp
+// ============================================================================
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace lza {
+
+// Symbol codes. N in the reference buffer (4) never equals N in the query
+// buffer (5), so padding never matches (defs.h:24-30).
+constexpr uint8_t SYM_N_REF = 4;
+constexpr uint8_t SYM_N_SEQ = 5;
+
+struct Cfg {
+    int32_t mal;  // min anchor length (11)
+    int32_t msl;  // min seed length (7)
+    int32_t mrd;  // max dist in reference (40)
+    int32_t mqd;  // max dist in query (40)
+    int32_t reg;  // min region length (35)
+    int32_t aw;   // approx window (15)
+    int32_t am;   // approx mismatches (7)
+    int32_t ar;   // approx run len (3)
+};
+
+enum Kind : int32_t { F_LIT = 0, F_CLOSE = 1, F_DISTANT = 2 };
+
+struct Factor {
+    int32_t dpos;
+    int32_t kind;
+    int32_t rpos;
+    int32_t len;
+};
+
+struct Region {
+    int32_t ref_lo, ref_hi, q_lo, q_hi;  // half-open, -1 = unset
+    int32_t n_match, n_mismatch;
+};
+
+// MurmurHash3 64-bit finalizer (same constants as parser.h:98-107).
+static inline uint64_t mix64(uint64_t v) {
+    v ^= v >> 33;
+    v *= 0xff51afd7ed558ccdULL;
+    v ^= v >> 33;
+    v *= 0xc4ceb9fe1a85ec53ULL;
+    v ^= v >> 33;
+    return v;
+}
+
+// P(random k-mer match) = 4^-len; table entries are exact powers of two
+// (parser.h:134-172).
+static inline double prob_len(int len) {
+    if (len < 30) return std::ldexp(1.0, -2 * len);
+    return std::pow(4.0, -(double)len);
+}
+
+// Binary exponentiation over doubles — multiplication order must match the
+// reference bit-for-bit (parser.h:174-188).
+static inline double fpow(double base, uint32_t e) {
+    double r = 1.0;
+    while (e) {
+        if (e & 1) r *= base;
+        base *= base;
+        e /= 2;
+    }
+    return r;
+}
+
+// --------------------------------------------------------------------------
+// K-mer stream: entry p holds the base-4 value of the k-mer starting at p,
+// or -1 when any symbol in the window is an N code (parser.cpp:53-103).
+// The output has exactly seq.size() entries (store_all padding).
+// --------------------------------------------------------------------------
+static void kmer_stream(std::vector<int64_t>& out, const uint8_t* seq,
+                        int64_t n, int k) {
+    out.assign((size_t)n, -1);
+    if (n < k) return;
+    uint64_t mask = (~0ULL) >> (64 - 2 * k);
+    uint64_t val = 0;
+    int run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t c = seq[i];
+        if (c >= SYM_N_REF) {
+            run = 0;
+            val = 0;
+        } else {
+            val = ((val << 2) | c) & mask;
+            ++run;
+        }
+        if (i >= k - 1 && run >= k) out[(size_t)(i - k + 1)] = (int64_t)val;
+    }
+}
+
+// --------------------------------------------------------------------------
+// Per-reference index: composite buffer + anchor hash table + seed buckets.
+// --------------------------------------------------------------------------
+struct RefIndex {
+    Cfg cfg;
+    std::vector<uint8_t> buf;  // fwd | N^mrd | N^mrd | rc | N^mrd  (parser.cpp:16-24)
+    std::vector<int64_t> anchors;   // mal-mer stream over buf
+    std::vector<int64_t> seeds;     // msl-mer stream over buf
+    std::vector<int32_t> ahash;     // open addressing, linear probe, -1 empty
+    uint64_t amask = 0;
+    std::vector<int32_t> bucket_pos;    // seed positions grouped by seed value
+    std::vector<int32_t> bucket_lo;     // 4^msl bucket offsets
+    std::vector<int32_t> bucket_n;      // 4^msl bucket sizes
+
+    void build(const uint8_t* seq, int64_t n, const Cfg& c) {
+        cfg = c;
+        const int64_t mrd = c.mrd;
+        buf.clear();
+        buf.reserve((size_t)(2 * n + 3 * mrd));
+        // forward strand: query-N(5) -> ref-N(4)
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t s = seq[i];
+            buf.push_back(s == SYM_N_SEQ ? SYM_N_REF : s);
+        }
+        buf.insert(buf.end(), (size_t)(2 * mrd), SYM_N_REF);
+        // reverse complement
+        for (int64_t i = n - 1; i >= 0; --i) {
+            uint8_t s = seq[i];
+            buf.push_back(s < SYM_N_REF ? (uint8_t)(3 - s) : SYM_N_REF);
+        }
+        buf.insert(buf.end(), (size_t)mrd, SYM_N_REF);
+
+        kmer_stream(anchors, buf.data(), (int64_t)buf.size(), c.mal);
+        kmer_stream(seeds, buf.data(), (int64_t)buf.size(), c.msl);
+        build_anchor_table();
+        build_seed_buckets();
+    }
+
+    // Table sized 2 * 2^floor(log2(10 * n_kmers)); inserts walk positions in
+    // ascending order so that equal-length probes resolve to the smallest
+    // position (parser.cpp:146-189).
+    void build_anchor_table() {
+        uint32_t x = (uint32_t)(anchors.size() / 0.1);
+        while (x & (x - 1)) x &= x - 1;
+        uint32_t size = 2 * x;
+        amask = size - 1;
+        ahash.assign(size, -1);
+        for (size_t p = 0; p < anchors.size(); ++p) {
+            if (anchors[p] < 0) continue;
+            uint64_t h = mix64((uint64_t)anchors[p]) & amask;
+            while (ahash[h] != -1) h = (h + 1) & amask;
+            ahash[h] = (int32_t)p;
+        }
+    }
+
+    // Counting sort of all msl-mer positions; buckets end up ascending
+    // (parser.cpp:106-143).
+    void build_seed_buckets() {
+        size_t nb = (size_t)1 << (2 * cfg.msl);
+        bucket_lo.assign(nb, 0);
+        bucket_n.assign(nb, 0);
+        for (int64_t s : seeds)
+            if (s >= 0) ++bucket_n[(size_t)s];
+        int32_t acc = 0;
+        for (size_t b = 0; b < nb; ++b) {
+            bucket_lo[b] = acc;
+            acc += bucket_n[b];
+        }
+        bucket_pos.assign((size_t)acc, 0);
+        std::vector<int32_t> cur(bucket_lo.begin(), bucket_lo.end());
+        for (size_t p = 0; p < seeds.size(); ++p)
+            if (seeds[p] >= 0) bucket_pos[(size_t)cur[(size_t)seeds[p]]++] = (int32_t)p;
+    }
+};
+
+// --------------------------------------------------------------------------
+// Per-pair parser workspace (reusable across queries against one reference).
+// --------------------------------------------------------------------------
+struct Parser {
+    const RefIndex* ri = nullptr;
+    Cfg cfg;
+    std::vector<uint8_t> qbuf;  // query codes + mrd query-Ns (parser.cpp:37-50)
+    std::vector<int64_t> q_anchors, q_seeds;
+    std::vector<Factor> fac;
+    std::vector<int32_t> win;
+    std::vector<std::pair<int32_t, bool>> lhs, rhs;
+
+    void set_reference(const RefIndex& idx) {
+        ri = &idx;
+        cfg = idx.cfg;
+    }
+
+    void set_query(const uint8_t* q, int64_t n) {
+        qbuf.clear();
+        qbuf.reserve((size_t)(n + cfg.mrd));
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t s = q[i];
+            qbuf.push_back(s == SYM_N_REF ? SYM_N_SEQ : s);
+        }
+        qbuf.insert(qbuf.end(), (size_t)cfg.mrd, SYM_N_SEQ);
+        kmer_stream(q_seeds, qbuf.data(), (int64_t)qbuf.size(), cfg.msl);
+        kmer_stream(q_anchors, qbuf.data(), (int64_t)qbuf.size(), cfg.mal);
+    }
+
+    // Longest common extension between reference and query starting at the
+    // given positions (parser.cpp:192-207).
+    int match_len(int rpos, int dpos, int from = 0) const {
+        int cap = (int)std::min((int64_t)ri->buf.size() - rpos,
+                                (int64_t)qbuf.size() - dpos);
+        const uint8_t* a = ri->buf.data() + rpos;
+        const uint8_t* b = qbuf.data() + dpos;
+        int r = from;
+        while (r < cap && a[r] == b[r]) ++r;
+        return r;
+    }
+
+    // Emit match/literal runs for an aligned range (parser.cpp:210-248).
+    // When `backward`, the first match run opens a new region (match_distant).
+    void emit_aligned_range(int dpos, int rpos, int len, bool backward) {
+        int32_t first_flag = backward ? F_DISTANT : F_CLOSE;
+        int32_t flag = first_flag;
+        int run = 0;
+        bool matching = false;
+        for (int j = 0; j < len; ++j) {
+            bool eq = ri->buf[(size_t)(rpos + j)] == qbuf[(size_t)(dpos + j)];
+            if (eq) {
+                if (matching) {
+                    ++run;
+                } else {
+                    if (run) fac.push_back({dpos + j - run, F_LIT, 0, run});
+                    run = 1;
+                    matching = true;
+                }
+            } else {
+                if (matching) {
+                    fac.push_back({dpos + j - run, flag, rpos + j - run, run});
+                    run = 1;
+                    matching = false;
+                    flag = F_CLOSE;
+                } else {
+                    ++run;
+                }
+            }
+        }
+        if (matching)
+            fac.push_back({dpos + len - run, flag, rpos + len - run, run});
+        else if (run)
+            fac.push_back({dpos + len - run, F_LIT, 0, run});
+    }
+
+    // Optimal left/right split of the literal gap before a close match
+    // (parser.cpp:251-374). The gap may align left (continuing the previous
+    // match) or right (ending at the new match's reference end).
+    void emit_gap_two_sided(int dpos, int r_left, int r_right, int len) {
+        lhs.clear();
+        rhs.clear();
+
+        int to_scan = (r_right < r_left) ? len : std::min(r_right - r_left, len);
+
+        int nm = 0;
+        lhs.emplace_back(0, false);
+        for (int j = 0; j < to_scan; ++j) {
+            bool eq = ri->buf[(size_t)(r_left + j)] == qbuf[(size_t)(dpos + j)];
+            lhs.emplace_back(nm += (int)eq, eq);
+        }
+        nm = 0;
+        rhs.emplace_back(0, false);
+        for (int j = 1; j <= std::min(to_scan, r_right); ++j) {
+            bool eq = ri->buf[(size_t)(r_right - j)] == qbuf[(size_t)(dpos + len - j)];
+            rhs.emplace_back(nm += (int)eq, eq);
+        }
+        rhs.resize((size_t)to_scan + 1, {0, false});
+
+        int best_nm = 0, split = 0;
+        for (int j = 0; j <= to_scan; ++j) {
+            int tot = lhs[(size_t)j].first + rhs[(size_t)(to_scan - j)].first;
+            if (tot >= best_nm) {  // >= : rightmost split wins ties
+                best_nm = tot;
+                split = j;
+            }
+        }
+
+        // left part, aligned to r_left
+        if (split > 0) {
+            bool eq = lhs[1].second;
+            int dp = dpos;
+            fac.push_back({dp++, eq ? F_CLOSE : F_LIT, eq ? r_left : 0, 1});
+            for (int j = 2; j <= split; ++j, ++dp) {
+                eq = lhs[(size_t)j].second;
+                int32_t kind = eq ? F_CLOSE : F_LIT;
+                if (kind == fac.back().kind)
+                    ++fac.back().len;
+                else
+                    fac.push_back({dp, kind, eq ? r_left + j - 1 : 0, 1});
+            }
+        }
+
+        // middle: part of the gap with no reference room — literals
+        if (to_scan < len) {
+            if (split > 0 && fac.back().kind == F_LIT)
+                fac.back().len += len - to_scan;
+            else
+                fac.push_back({dpos + split, F_LIT, 0, len - to_scan});
+        }
+
+        // right part, aligned so the gap ends at r_right
+        if (split < to_scan) {
+            int shift = len - to_scan;
+            int from_right = to_scan - split;
+            bool eq = rhs[(size_t)from_right].second;
+            int dp = dpos + split + shift;
+            if (!eq && (split > 0 || shift > 0) && fac.back().kind == F_LIT) {
+                ++fac.back().len;  // note: dp deliberately NOT advanced (:355-358)
+            } else {
+                fac.push_back({dp++, eq ? F_CLOSE : F_LIT,
+                               eq ? r_right - from_right : 0, 1});
+            }
+            for (int j = from_right - 1; j > 0; --j, ++dp) {
+                eq = rhs[(size_t)j].second;
+                int32_t kind = eq ? F_CLOSE : F_LIT;
+                if (kind == fac.back().kind)
+                    ++fac.back().len;
+                else
+                    fac.push_back({dp, kind, eq ? r_right - j : 0, 1});
+            }
+        }
+    }
+
+    // Sliding-window approximate extension: advance while the mismatch count
+    // within the last `aw` symbols stays <= `am`; the result is the largest
+    // prefix ending with a run of >= `ar` matches (parser.cpp:377-441).
+    int extend_fwd(int dpos, int rpos) {
+        int dn = (int)qbuf.size(), rn = (int)ri->buf.size();
+        win.assign((size_t)cfg.aw, 0);
+        int bad = 0, run = cfg.ar, last = 0;
+        for (int e = 0; dpos + e < dn && rpos + e < rn; ++e) {
+            int miss = qbuf[(size_t)(dpos + e)] != ri->buf[(size_t)(rpos + e)];
+            bad -= win[(size_t)(e % cfg.aw)];
+            win[(size_t)(e % cfg.aw)] = miss;
+            bad += miss;
+            if (!miss) {
+                if (++run >= cfg.ar) last = e + 1;
+            } else {
+                run = 0;
+            }
+            if (bad > cfg.am) break;
+        }
+        return last;
+    }
+
+    int extend_bwd(int dpos, int rpos, int max_len) {
+        win.assign((size_t)cfg.aw, 0);
+        int bad = 0, run = cfg.ar, last = 0;
+        for (int e = 0; dpos - e > 0 && rpos - e > 0 && e < max_len; ++e) {
+            int miss =
+                qbuf[(size_t)(dpos - e - 1)] != ri->buf[(size_t)(rpos - e - 1)];
+            bad -= win[(size_t)(e % cfg.aw)];
+            win[(size_t)(e % cfg.aw)] = miss;
+            bad += miss;
+            if (!miss) {
+                if (++run >= cfg.ar) last = e + 1;
+            } else {
+                run = 0;
+            }
+            if (bad > cfg.am) break;
+        }
+        return last;
+    }
+
+    // The greedy LZ parse automaton (parser.cpp:482-716).
+    void parse() {
+        fac.clear();
+        const int dsz = (int)qbuf.size();
+        int pred = -dsz;       // predicted ref continuation; <0 = unsynced
+        int lit_run = 0;       // pending (unemitted) literal run
+        int reg_lo = -1;       // current region start in query coords
+        int reg_hi = 0;
+
+        int i = 0;
+        for (; i + cfg.msl < dsz;) {
+            int best_pos = 0, best_len = 0;
+
+            if (pred < 0) {
+                // unsynced: global anchor search over the whole probe cluster
+                if (q_anchors[(size_t)i] >= 0) {
+                    uint64_t h = mix64((uint64_t)q_anchors[(size_t)i]) & ri->amask;
+                    for (; ri->ahash[h] != -1; h = (h + 1) & ri->amask) {
+                        int ml = match_len(ri->ahash[h], i);
+                        if (ml < cfg.mal) continue;
+                        if (ml > best_len) {
+                            best_len = ml;
+                            best_pos = ri->ahash[h];
+                        }
+                    }
+                }
+            } else {
+                // synced: seed search restricted near the prediction...
+                int64_t seed = q_seeds[(size_t)i];
+                if (seed >= 0) {
+                    const int32_t* bkt = ri->bucket_pos.data() + ri->bucket_lo[(size_t)seed];
+                    int bn = ri->bucket_n[(size_t)seed];
+                    int j = (int)(std::lower_bound(bkt, bkt + bn, pred - lit_run) - bkt);
+                    for (; j < bn && bkt[j] < pred + cfg.mrd; ++j) {
+                        int pos = bkt[j];
+                        int ml = match_len(pos, i, cfg.msl);
+                        if (ml >= best_len) {
+                            if (ml == best_len) {
+                                if (std::abs(pos - pred) < std::abs(best_pos - pred))
+                                    best_pos = pos;
+                            } else {
+                                best_len = ml;
+                                best_pos = pos;
+                            }
+                        }
+                    }
+                }
+
+                // ...plus a global anchor candidate
+                int a_len = 0, a_pos = 0;
+                if (q_anchors[(size_t)i] >= 0) {
+                    uint64_t h = mix64((uint64_t)q_anchors[(size_t)i]) & ri->amask;
+                    for (; ri->ahash[h] != -1; h = (h + 1) & ri->amask) {
+                        int ml = match_len(ri->ahash[h], i);
+                        if (ml < cfg.mal) continue;
+                        if (ml > a_len) {
+                            a_len = ml;
+                            a_pos = ri->ahash[h];
+                        }
+                    }
+                }
+
+                if (a_pos) {  // note: an anchor AT position 0 is ignored (:604)
+                    if (!best_pos) {
+                        best_pos = a_pos;
+                        best_len = a_len;
+                    } else {
+                        // keep the candidate less likely to match by chance
+                        // (parser.cpp:612-622)
+                        double pa = fpow(1.0 - prob_len(a_len),
+                                         (uint32_t)(int)(2 * (ri->buf.size() + 1 - a_len)));
+                        double pc = fpow(1.0 - prob_len(best_len),
+                                         (uint32_t)(lit_run + cfg.mrd + 1 - best_len));
+                        if (pa > pc) {
+                            best_pos = a_pos;
+                            best_len = a_len;
+                        }
+                    }
+                }
+            }
+
+            if (best_len >= cfg.msl) {
+                int32_t flag = F_DISTANT;
+
+                if (pred >= 0 && std::abs(best_pos - pred) <= cfg.mrd) {
+                    // close match: retro-align the pending literal gap
+                    emit_gap_two_sided(i - lit_run, pred - lit_run,
+                                       best_pos + best_len, lit_run);
+                    fac.push_back({i, F_CLOSE, best_pos, best_len});
+                } else {
+                    if (lit_run)
+                        fac.push_back({i - lit_run, F_LIT, 0, lit_run});
+
+                    // kill the previous region if too short (parser.cpp:643-657;
+                    // eval_region reduces to a length test, :446-449)
+                    if (reg_lo >= 0 && reg_hi - reg_lo < cfg.reg) {
+                        while (!fac.empty() && fac.back().dpos >= reg_lo)
+                            fac.pop_back();
+                        int run_len = i - reg_lo;
+                        while (!fac.empty() && fac.back().kind == F_LIT) {
+                            run_len += fac.back().len;
+                            fac.pop_back();
+                        }
+                        fac.push_back({i - run_len, F_LIT, 0, run_len});
+                        reg_lo = -1;
+                    }
+
+                    // approximate backward extension into the literal run
+                    if (!fac.empty() && fac.back().kind == F_LIT) {
+                        int bwd = extend_bwd(i, best_pos, fac.back().len);
+                        if (bwd) {
+                            fac.back().len -= bwd;
+                            if (fac.back().len == 0) fac.pop_back();
+                            emit_aligned_range(i - bwd, best_pos - bwd, bwd, true);
+                            flag = F_CLOSE;
+                            reg_lo = i - bwd;
+                        }
+                    }
+
+                    fac.push_back({i, flag, best_pos, best_len});
+                    if (flag == F_DISTANT) reg_lo = i;
+
+                    if (reg_lo < 0)
+                        for (int j = (int)fac.size() - 1; j >= 0; --j)
+                            if (fac[(size_t)j].kind == F_DISTANT) {
+                                reg_lo = fac[(size_t)j].dpos;
+                                break;
+                            }
+                }
+
+                i += best_len;
+                pred = best_pos + best_len;
+                lit_run = 0;
+
+                int ext = extend_fwd(i, pred);
+                emit_aligned_range(i, pred, ext, false);
+                i += ext;
+                pred += ext;
+                reg_hi = i;
+            } else {
+                ++i;
+                ++pred;
+                ++lit_run;
+            }
+
+            if (lit_run > cfg.mqd) pred = -dsz;  // desync (:706-707)
+        }
+
+        // tail (:710-713)
+        if (pred < 0)
+            fac.push_back({i - lit_run, F_LIT, 0, lit_run + (dsz - i)});
+        else
+            emit_aligned_range(i - lit_run, pred - lit_run - cfg.msl,
+                               lit_run + (dsz - i), false);
+    }
+
+    // Component stats: matches chain across close matches; literals count
+    // only between matches inside a component; components shorter than
+    // `reg` are dropped (parser.cpp:734-783).
+    void stats(int32_t out[3]) const {
+        int32_t tot_m = 0, tot_l = 0, n_comp = 0;
+        int cur_m = 0, cur_l = 0, pend = 0;
+        auto close_comp = [&]() {
+            if (cur_m && cur_m + cur_l >= cfg.reg) {
+                tot_m += cur_m;
+                tot_l += cur_l;
+                ++n_comp;
+            }
+        };
+        for (const Factor& f : fac) {
+            if (f.kind == F_DISTANT) {
+                close_comp();
+                cur_m = f.len;
+                cur_l = 0;
+                pend = 0;
+            } else if (f.kind == F_CLOSE) {
+                cur_m += f.len;
+                cur_l += pend;
+                pend = 0;
+            } else {
+                pend += f.len;
+            }
+        }
+        close_comp();
+        out[0] = tot_m;
+        out[1] = tot_l;
+        out[2] = n_comp;
+    }
+
+    // Local-alignment regions for the --out-alignment path
+    // (parser.cpp:786-837).
+    void regions(std::vector<Region>& out) const {
+        out.clear();
+        Region cur{-1, -1, -1, -1, 0, 0};
+        int pend = 0;
+        auto flush = [&]() {
+            if (cur.q_hi - cur.q_lo >= cfg.reg) out.push_back(cur);
+        };
+        auto grow = [&](const Factor& f) {
+            if (cur.ref_lo < 0 || f.rpos < cur.ref_lo) cur.ref_lo = f.rpos;
+            if (cur.ref_hi < 0 || f.rpos + f.len > cur.ref_hi) cur.ref_hi = f.rpos + f.len;
+            if (cur.q_lo < 0 || f.dpos < cur.q_lo) cur.q_lo = f.dpos;
+            if (cur.q_hi < 0 || f.dpos + f.len > cur.q_hi) cur.q_hi = f.dpos + f.len;
+            cur.n_match += f.len;
+        };
+        for (const Factor& f : fac) {
+            if (f.kind == F_DISTANT) {
+                flush();
+                cur = {-1, -1, -1, -1, 0, 0};
+                grow(f);
+                pend = 0;
+            } else if (f.kind == F_CLOSE) {
+                cur.ref_hi += pend;
+                cur.q_hi += pend;
+                cur.n_mismatch += pend;
+                pend = 0;
+                grow(f);
+            } else {
+                pend += f.len;
+            }
+        }
+        flush();
+        std::stable_sort(out.begin(), out.end(), [](const Region& a, const Region& b) {
+            int la = a.q_hi - a.q_lo, lb = b.q_hi - b.q_lo;
+            if (la != lb) return la > lb;
+            return a.q_lo < b.q_lo;
+        });
+    }
+};
+
+}  // namespace lza
+
+// ============================================================================
+// C API
+// ============================================================================
+
+extern "C" {
+
+typedef struct {
+    int32_t mal, msl, mrd, mqd, reg, aw, am, ar;
+} lza_cfg;
+
+static lza::Cfg to_cfg(const lza_cfg* c) {
+    return lza::Cfg{c->mal, c->msl, c->mrd, c->mqd, c->reg, c->aw, c->am, c->ar};
+}
+
+// Parse one (reference, query) pair. Fills stats[3] = {sym_in_matches,
+// sym_in_literals, components}. If `regions` is non-null, writes up to `cap`
+// regions as 6 int32s each {ref_lo, ref_hi, q_lo, q_hi, n_match, n_mismatch}
+// and returns the total region count; otherwise returns 0.
+int64_t lza_parse_pair(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
+                       int64_t q_len, const lza_cfg* cfg, int32_t* stats,
+                       int32_t* regions, int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg));
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len);
+    p.parse();
+    p.stats(stats);
+    if (!regions) return 0;
+    std::vector<lza::Region> regs;
+    p.regions(regs);
+    int64_t n = std::min<int64_t>((int64_t)regs.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(regions + 6 * k, &regs[(size_t)k], 6 * sizeof(int32_t));
+    return (int64_t)regs.size();
+}
+
+// Dump the raw factor list for a pair (debug aid for kernel validation).
+// Factors are written as 4 int32s {dpos, kind, rpos, len}; returns the count.
+int64_t lza_parse_factors(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
+                          int64_t q_len, const lza_cfg* cfg, int32_t* out,
+                          int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg));
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len);
+    p.parse();
+    int64_t n = std::min<int64_t>((int64_t)p.fac.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(out + 4 * k, &p.fac[(size_t)k], 4 * sizeof(int32_t));
+    return (int64_t)p.fac.size();
+}
+
+// Threaded all-vs-all driver (scheduling mirrors lz_matcher.cpp:172-277:
+// dynamic reference rows, one index build amortised over all queries).
+//
+//   seqs/offs/n  : concatenated uint8 codes; offs has n+1 int64 entries
+//   indptr/ids   : optional CSR pair filter (indptr: n+1 int64); NULL = dense
+//   out          : int32 triples; dense layout row r, query q ->
+//                  (r*(n-1) + (q>r ? q-1 : q)) * 3; CSR layout -> entry index * 3
+//   region_path  : optional binary dump of regions per pair:
+//                  {i32 ref_id, i32 q_id, i32 n_regions, n*6 i32}
+//   flt_*        : when flt_enabled, pairs failing the gani/ani/qcov
+//                  pre-filter are skipped in the region dump
+//                  (lz_matcher.cpp:115-138)
+// Returns 0 on success.
+int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
+                    const int64_t* indptr, const int32_t* ids,
+                    const lza_cfg* cfg, int32_t n_threads, int32_t* out,
+                    const char* region_path, int32_t flt_enabled,
+                    double flt_gani, double flt_ani, double flt_qcov) {
+    std::atomic<int64_t> next_row{0};
+    std::FILE* rf = nullptr;
+    std::mutex rf_mtx;
+    if (region_path) {
+        rf = std::fopen(region_path, "wb");
+        if (!rf) return 1;
+    }
+
+    auto worker = [&]() {
+        lza::RefIndex idx;
+        lza::Parser p;
+        std::vector<lza::Region> regs;
+        std::vector<int32_t> rec;
+        while (true) {
+            int64_t r = next_row.fetch_add(1);
+            if (r >= n) break;
+            idx.build(seqs + offs[r], offs[r + 1] - offs[r], to_cfg(cfg));
+            p.set_reference(idx);
+
+            int64_t lo = indptr ? indptr[r] : 0;
+            int64_t hi = indptr ? indptr[r + 1] : n;
+            for (int64_t e = lo; e < hi; ++e) {
+                int64_t q = indptr ? (int64_t)ids[e] : e;
+                if (!indptr && q == r) continue;
+                int64_t q_len = offs[q + 1] - offs[q];
+                p.set_query(seqs + offs[q], q_len);
+                p.parse();
+
+                int64_t slot =
+                    indptr ? e : (r * (n - 1) + (q > r ? q - 1 : q));
+                p.stats(out + 3 * slot);
+
+                if (rf) {
+                    p.regions(regs);
+                    int64_t m = 0, l = 0;
+                    for (const auto& g : regs) {
+                        m += g.n_match;
+                        l += g.n_mismatch;
+                    }
+                    bool keep = true;
+                    if (flt_enabled) {
+                        double gani = (double)m / (double)q_len;
+                        double ani = (m + l) ? (double)m / (double)(m + l) : 0.0;
+                        double qcov = (double)(m + l) / (double)q_len;
+                        keep = gani >= flt_gani && ani >= flt_ani && qcov >= flt_qcov;
+                    }
+                    if (keep) {
+                        rec.clear();
+                        rec.push_back((int32_t)r);
+                        rec.push_back((int32_t)q);
+                        rec.push_back((int32_t)regs.size());
+                        for (const auto& g : regs) {
+                            const int32_t* gp = (const int32_t*)&g;
+                            rec.insert(rec.end(), gp, gp + 6);
+                        }
+                        std::lock_guard<std::mutex> lk(rf_mtx);
+                        std::fwrite(rec.data(), sizeof(int32_t), rec.size(), rf);
+                    }
+                }
+            }
+        }
+    };
+
+    if (n_threads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int32_t t = 0; t < n_threads; ++t) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    if (rf) std::fclose(rf);
+    return 0;
+}
+
+// Build-info probe so Python can verify the ABI.
+int32_t lza_abi_version(void) { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,183 @@
+"""ctypes bindings for the native host engine (lzani_core.cpp).
+
+The shared library is compiled on first use (g++ -O3) and cached next to the
+source. The native engine is the CPU production backend and the bit-exact
+oracle used to validate the JAX/TPU kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "lzani_core.cpp")
+_LIB = os.path.join(_HERE, "native", "liblzani_core.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class LzaCfg(ct.Structure):
+    _fields_ = [(f, ct.c_int32) for f in
+                ("mal", "msl", "mrd", "mqd", "reg", "aw", "am", "ar")]
+
+
+def _build_library() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++20", "-shared", "-fPIC", "-march=native",
+        "-o", _LIB, _SRC, "-lpthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build_library()
+        lib = ct.CDLL(_LIB)
+
+        lib.lza_abi_version.restype = ct.c_int32
+        assert lib.lza_abi_version() == 1
+
+        lib.lza_parse_pair.restype = ct.c_int64
+        lib.lza_parse_pair.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(LzaCfg), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.c_int64,
+        ]
+        lib.lza_parse_factors.restype = ct.c_int64
+        lib.lza_parse_factors.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(LzaCfg), ct.POINTER(ct.c_int32), ct.c_int64,
+        ]
+        lib.lza_all2all.restype = ct.c_int32
+        lib.lza_all2all.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+            ct.POINTER(LzaCfg), ct.c_int32, ct.POINTER(ct.c_int32),
+            ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
+        ]
+        _lib = lib
+        return lib
+
+
+def make_cfg(params) -> LzaCfg:
+    return LzaCfg(
+        params.min_anchor_len, params.min_seed_len,
+        params.max_dist_in_ref, params.max_dist_in_query,
+        params.min_region_len, params.approx_window,
+        params.approx_mismatches, params.approx_run_len,
+    )
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+
+def parse_pair(ref: np.ndarray, query: np.ndarray, params,
+               want_regions: bool = False):
+    """Returns ((matches, literals, components), regions[None])."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    stats = np.zeros(3, dtype=np.int32)
+    if not want_regions:
+        lib.lza_parse_pair(_u8p(ref), len(ref), _u8p(query), len(query),
+                           ct.byref(cfg),
+                           stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                           None, 0)
+        return tuple(int(x) for x in stats), None
+    cap = max(64, len(query) // max(params.min_region_len, 1) + 8)
+    regs = np.zeros((cap, 6), dtype=np.int32)
+    n = lib.lza_parse_pair(_u8p(ref), len(ref), _u8p(query), len(query),
+                           ct.byref(cfg),
+                           stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                           regs.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
+    if n > cap:  # retry with exact capacity
+        regs = np.zeros((n, 6), dtype=np.int32)
+        lib.lza_parse_pair(_u8p(ref), len(ref), _u8p(query), len(query),
+                           ct.byref(cfg),
+                           stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                           regs.ctypes.data_as(ct.POINTER(ct.c_int32)), n)
+    return tuple(int(x) for x in stats), regs[:n]
+
+
+def parse_factors(ref: np.ndarray, query: np.ndarray, params) -> np.ndarray:
+    """Raw factor list {dpos, kind(0=lit,1=close,2=distant), rpos, len}."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    cap = len(query) + params.max_dist_in_ref + 16
+    out = np.zeros((cap, 4), dtype=np.int32)
+    n = lib.lza_parse_factors(_u8p(ref), len(ref), _u8p(query), len(query),
+                              ct.byref(cfg),
+                              out.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
+    assert n <= cap, "factor buffer overflow"
+    return out[:n]
+
+
+def all2all(codes: list[np.ndarray], params, filter_csr=None,
+            region_path: str | None = None) -> np.ndarray:
+    """Run the threaded all-vs-all engine.
+
+    Returns int32 triples: dense mode shape (n, n-1, 3) where row r column c
+    holds the parse of query (c if c<r else c+1) against reference r; filter
+    mode shape (nnz, 3) aligned to the CSR ids array.
+    """
+    lib = get_lib()
+    cfg = make_cfg(params)
+    n = len(codes)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    for i, c in enumerate(codes):
+        offs[i + 1] = offs[i] + len(c)
+    concat = np.concatenate(codes) if n else np.zeros(0, np.uint8)
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+
+    if filter_csr is not None:
+        indptr, ids = filter_csr
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        out = np.zeros((len(ids), 3), dtype=np.int32)
+        ip = indptr.ctypes.data_as(ct.POINTER(ct.c_int64))
+        idp = ids.ctypes.data_as(ct.POINTER(ct.c_int32))
+    else:
+        out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
+        ip = None
+        idp = None
+
+    flt = params.output_filter
+    flt_enabled = 1 if flt else 0
+    rc = lib.lza_all2all(
+        _u8p(concat), offs.ctypes.data_as(ct.POINTER(ct.c_int64)), n,
+        ip, idp, ct.byref(cfg), int(params.no_threads),
+        out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        region_path.encode() if region_path else None,
+        flt_enabled, flt.get("gani", 0.0), flt.get("ani", 0.0),
+        flt.get("qcov", 0.0),
+    )
+    if rc != 0:
+        raise RuntimeError(f"lza_all2all failed with code {rc}")
+    return out
+
+
+def read_region_dump(path: str):
+    """Parse the binary region dump written by lza_all2all.
+
+    Yields (ref_id, q_id, regions[int32 (k,6)]).
+    """
+    raw = np.fromfile(path, dtype=np.int32)
+    pos = 0
+    while pos < len(raw):
+        r, q, k = int(raw[pos]), int(raw[pos + 1]), int(raw[pos + 2])
+        pos += 3
+        yield r, q, raw[pos:pos + 6 * k].reshape(k, 6)
+        pos += 6 * k

@@ -1,0 +1,143 @@
+"""All-vs-all orchestration: load -> filter -> reorder -> match -> store.
+
+The phase sequence mirrors the reference's ``CLZMatcher::run_all2all``
+(/root/reference/src/lz_matcher.cpp:582-617); matching is dispatched to the
+selected backend (native C++ host engine or the JAX/TPU device engine).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from .io.fasta import SequenceStore, load_store
+from .io.kmerdb_filter import PairFilter
+from .output import (ResultMatrix, alignment_lines, derive_ids_path,
+                     ids_file_lines, results_tsv_lines, single_txt_lines)
+from .params import Params
+
+
+class Matcher:
+    def __init__(self, params: Params):
+        self.params = params
+        self.store: SequenceStore | None = None
+        self.filter: PairFilter | None = None
+        self.times: list[tuple[float, str]] = []
+
+    def _log(self, msg: str, level: int = 1) -> None:
+        if self.params.verbosity_level >= level:
+            print(msg, file=sys.stderr)
+
+    def _mark(self, label: str) -> None:
+        self.times.append((time.perf_counter(), label))
+
+    def run_all2all(self) -> bool:
+        p = self.params
+        p.adjust_threads()
+        self._mark("")
+
+        self._log("Loading sequences")
+        self.store = load_store(p)
+        self._mark("Loading sequences")
+
+        if p.filter_file_name:
+            self._log("Loading filter data")
+            self.filter = PairFilter.load(p.filter_file_name, p.filter_thr)
+            self._log(f"Filter size: {self.filter.total}")
+        self._mark("Loading filter")
+
+        if self.filter is not None:
+            if self.filter.names != self.store.names:
+                print("Input sequences and filter sequences are different!",
+                      file=sys.stderr)
+                return False
+        self._mark("Comparing sequence and filter compatibility")
+
+        self._log("Reordering sequences")
+        remap = self.store.reorder()
+        if self.filter is not None:
+            self.filter.reorder(remap)
+        self._mark("Reordering sequences")
+
+        self._log("All2all sparse")
+        rm, region_path = self._do_matching()
+        self._mark("LZ matching")
+
+        self._log("Storing results")
+        ok = self._store_results(rm, region_path)
+        self._mark("Storing results")
+
+        if p.verbosity_level >= 2:
+            self._show_timings()
+        return ok
+
+    # ------------------------------------------------------------------
+    def _do_matching(self):
+        p = self.params
+        backend = p.backend
+        if backend == "auto":
+            backend = "native"
+
+        region_path = None
+        if p.output_alignment_file_name:
+            region_path = p.output_alignment_file_name + ".regions.tmp"
+
+        csr = None
+        if self.filter is not None:
+            csr = self.filter.indptr_ids(len(self.store))
+
+        if backend == "native":
+            from .core import native_engine
+            triples = native_engine.all2all(
+                self.store.codes, p, filter_csr=csr, region_path=region_path)
+        elif backend == "jax":
+            from .ops.engine_jax import all2all_jax
+            triples = all2all_jax(self.store.codes, p, filter_csr=csr)
+            if region_path:
+                # regions path currently served by the native engine
+                from .core import native_engine
+                native_engine.all2all(self.store.codes, p, filter_csr=csr,
+                                      region_path=region_path)
+        else:
+            raise ValueError(f"Unknown backend: {backend}")
+
+        if csr is None:
+            rm = ResultMatrix.from_dense(triples)
+        else:
+            rm = ResultMatrix.from_csr(len(self.store), csr[0], csr[1], triples)
+        return rm, region_path
+
+    # ------------------------------------------------------------------
+    def _store_results(self, rm: ResultMatrix, region_path) -> bool:
+        p = self.params
+        store = self.store
+
+        if p.output_type == "single_txt":
+            with open(p.output_file_name, "w", encoding="latin-1") as fh:
+                fh.writelines(single_txt_lines(p, store, rm))
+        else:
+            ids_path = p.output_ids_file_name or derive_ids_path(p.output_file_name)
+            with open(ids_path, "w", encoding="latin-1") as fh:
+                fh.writelines(ids_file_lines(store, p.max_dist_in_ref))
+            with open(p.output_file_name, "w", encoding="latin-1") as fh:
+                fh.writelines(results_tsv_lines(p, store, rm))
+
+        if p.output_alignment_file_name:
+            from .core.native_engine import read_region_dump
+            from .output import ALN_HEADER
+            with open(p.output_alignment_file_name, "w", encoding="latin-1") as fh:
+                fh.write(ALN_HEADER)
+                fh.writelines(
+                    alignment_lines(p, store, read_region_dump(region_path)))
+            os.unlink(region_path)
+
+        return True
+
+    def _show_timings(self) -> None:
+        print("Timings", file=sys.stderr)
+        for i in range(1, len(self.times)):
+            dt = self.times[i][0] - self.times[i - 1][0]
+            print(f"{self.times[i][1]} : {dt}s", file=sys.stderr)
+        total = self.times[-1][0] - self.times[0][0]
+        print(f"Total time: {total}s", file=sys.stderr)
