@@ -1,0 +1,125 @@
+"""End-to-end golden equality against the reference fixtures
+(the reference CI contract: byte-exact cmp — .github/workflows/main.yml)."""
+
+import os
+
+import pytest
+
+from conftest import REFERENCE, requires_reference
+from lzani_tpu.cli import main as cli_main
+
+VIR61 = os.path.join(REFERENCE, "test", "vir61")
+EXAMPLE = os.path.join(REFERENCE, "example")
+
+
+def run_cli(args):
+    assert cli_main(args) == 0
+
+
+@requires_reference
+def test_vir61_byte_exact(tmp_path):
+    out = str(tmp_path / "ani.tsv")
+    run_cli(["all2all", "--in-dir", VIR61, "--out", out, "-t", "8", "-V", "0"])
+    golden = open(os.path.join(REFERENCE, "test", "vir61.ani.tsv"), "rb").read()
+    assert open(out, "rb").read() == golden
+    golden_ids = open(os.path.join(REFERENCE, "test", "vir61.ani.ids.tsv"), "rb").read()
+    assert open(str(tmp_path / "ani.ids.tsv"), "rb").read() == golden_ids
+
+
+@requires_reference
+def test_example_multifasta_byte_exact(tmp_path):
+    out = str(tmp_path / "ani.tsv")
+    aln = str(tmp_path / "ani.aln.tsv")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", out, "--out-alignment", aln, "-t", "8", "-V", "0"])
+    golden = open(os.path.join(EXAMPLE, "output", "ani.tsv"), "rb").read()
+    assert open(out, "rb").read() == golden
+    golden_ids = open(os.path.join(EXAMPLE, "output", "ani.ids.tsv"), "rb").read()
+    assert open(str(tmp_path / "ani.ids.tsv"), "rb").read() == golden_ids
+    # alignment rows: reference order is thread-nondeterministic -> set equality
+    mine = sorted(open(aln).readlines()[1:])
+    ref = sorted(open(os.path.join(EXAMPLE, "output", "ani.aln.tsv")).readlines()[1:])
+    assert open(aln).readline() == ref_header()
+    assert mine == ref
+
+
+def ref_header():
+    return ("query\treference\tpident\talnlen\tqstart\tqend\trstart\trend\t"
+            "nt_match\tnt_mismatch\n")
+
+
+@requires_reference
+def test_example_per_file_mode_matches_multifasta(tmp_path):
+    """The 12 example genomes as separate files (multisample off) must give
+    the same measures as the single multifasta, modulo names."""
+    out_a = str(tmp_path / "a.tsv")
+    out_b = str(tmp_path / "b.tsv")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", out_a, "-t", "4", "-V", "0", "--out-format", "lite"])
+    run_cli(["all2all", "--in-dir", os.path.join(EXAMPLE, "fna"),
+             "--multisample-fasta", "false",
+             "--out", out_b, "-t", "4", "-V", "0", "--out-format", "lite"])
+    # names differ (file names vs headers) but share the NC_* prefix ordering,
+    # so idx-keyed lite rows must be identical
+    assert open(out_a).read() == open(out_b).read()
+
+
+@requires_reference
+def test_filter_path_subset_of_dense(tmp_path):
+    dense = str(tmp_path / "dense.tsv")
+    filt = str(tmp_path / "filt.tsv")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", dense, "-t", "4", "-V", "0"])
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--flt-kmerdb", os.path.join(EXAMPLE, "fltr.txt"), "0.2",
+             "--out", filt, "-t", "4", "-V", "0"])
+    dense_rows = {tuple(l.split("\t")[:2]): l for l in open(dense).readlines()[1:]}
+    filt_rows = open(filt).readlines()[1:]
+    assert len(filt_rows) == 26
+    for l in filt_rows:
+        assert dense_rows[tuple(l.split("\t")[:2])] == l
+
+
+@requires_reference
+def test_out_filter_and_percent(tmp_path):
+    out = str(tmp_path / "o.tsv")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", out, "--out-filter", "tani", "0.5",
+             "--out-in-percent", "true", "-t", "4", "-V", "0"])
+    rows = [l.rstrip("\n").split("\t") for l in open(out).readlines()[1:]]
+    assert rows, "expected some surviving pairs"
+    for r in rows:
+        assert float(r[4]) >= 50.0  # tani in percent
+
+
+@requires_reference
+def test_single_txt(tmp_path):
+    out = str(tmp_path / "o.txt")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", out, "--out-type", "single-txt", "-t", "4", "-V", "0"])
+    text = open(out).read()
+    assert "[params]" in text and "[lz_similarities]" in text
+    assert "[no_input_sequences]\n12\n" in text
+
+
+@requires_reference
+def test_known_truth_tani(tmp_path):
+    """Semantic anchor: measured tANI within 0.01 of the simulated-mutation
+    ground truth (example/readme.txt)."""
+    out = str(tmp_path / "o.tsv")
+    run_cli(["all2all", "--in-fasta", os.path.join(EXAMPLE, "multifasta.fna"),
+             "--out", out, "-t", "8", "-V", "0"])
+    truth = {
+        ("NC_010807.ref", "NC_010807.alt1"): 0.99753,
+        ("NC_005091.ref", "NC_005091.alt2"): 0.96707,
+        ("NC_025457.ref", "NC_025457.alt2"): 0.75921,
+        ("NC_002486.ref", "NC_002486.alt"): 1.00000,
+    }
+    got = {}
+    for line in open(out).readlines()[1:]:
+        f = line.rstrip("\n").split("\t")
+        got[(f[2], f[3])] = float(f[4])
+    for (a, b), t in truth.items():
+        tani = got.get((a, b)) or got.get((b, a))
+        assert tani is not None
+        assert abs(tani - t) < 0.01, (a, b, tani, t)
