@@ -196,6 +196,15 @@ struct RefIndex {
 // --------------------------------------------------------------------------
 // Per-pair parser workspace (reusable across queries against one reference).
 // --------------------------------------------------------------------------
+// Optional per-parse event counters (device-engine design instrumentation).
+struct EventStats {
+    int64_t match_events = 0;  // main-loop iterations emitting a factor
+    int64_t lit_synced = 0;    // literal steps with an active prediction
+    int64_t lit_desync = 0;    // literal steps while desynced (anchor-only)
+    int64_t ext_symbols = 0;   // symbols covered by approx extensions
+    int64_t match_symbols = 0; // symbols covered by emitted matches
+};
+
 struct Parser {
     const RefIndex* ri = nullptr;
     Cfg cfg;
@@ -204,6 +213,7 @@ struct Parser {
     std::vector<Factor> fac;
     std::vector<int32_t> win;
     std::vector<std::pair<int32_t, bool>> lhs, rhs;
+    EventStats* ev = nullptr;
 
     void set_reference(const RefIndex& idx) {
         ri = &idx;
@@ -523,10 +533,16 @@ struct Parser {
 
                 int ext = extend_fwd(i, pred);
                 emit_aligned_range(i, pred, ext, false);
+                if (ev) {
+                    ++ev->match_events;
+                    ev->match_symbols += best_len;
+                    ev->ext_symbols += ext;
+                }
                 i += ext;
                 pred += ext;
                 reg_hi = i;
             } else {
+                if (ev) (pred < 0 ? ev->lit_desync : ev->lit_synced)++;
                 ++i;
                 ++pred;
                 ++lit_run;
@@ -654,6 +670,25 @@ int64_t lza_parse_pair(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
     for (int64_t k = 0; k < n; ++k)
         std::memcpy(regions + 6 * k, &regs[(size_t)k], 6 * sizeof(int32_t));
     return (int64_t)regs.size();
+}
+
+// Per-parse event counters (device-engine design instrumentation):
+// out[5] = {match_events, lit_synced, lit_desync, ext_symbols, match_symbols}.
+void lza_parse_events(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
+                      int64_t q_len, const lza_cfg* cfg, int64_t* out) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg));
+    lza::Parser p;
+    lza::EventStats ev;
+    p.ev = &ev;
+    p.set_reference(idx);
+    p.set_query(q, q_len);
+    p.parse();
+    out[0] = ev.match_events;
+    out[1] = ev.lit_synced;
+    out[2] = ev.lit_desync;
+    out[3] = ev.ext_symbols;
+    out[4] = ev.match_symbols;
 }
 
 // Dump the raw factor list for a pair (debug aid for kernel validation).
