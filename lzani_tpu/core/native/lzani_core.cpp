@@ -132,7 +132,8 @@ struct RefIndex {
     std::vector<int32_t> bucket_lo;     // 4^msl bucket offsets
     std::vector<int32_t> bucket_n;      // 4^msl bucket sizes
 
-    void build(const uint8_t* seq, int64_t n, const Cfg& c) {
+    void build(const uint8_t* seq, int64_t n, const Cfg& c,
+               bool tables = true) {
         cfg = c;
         const int64_t mrd = c.mrd;
         buf.clear();
@@ -150,6 +151,7 @@ struct RefIndex {
         }
         buf.insert(buf.end(), (size_t)mrd, SYM_N_REF);
 
+        if (!tables) return;  // buffers-only mode (pseudo-factor expansion)
         kmer_stream(anchors, buf.data(), (int64_t)buf.size(), c.mal);
         kmer_stream(seeds, buf.data(), (int64_t)buf.size(), c.msl);
         build_anchor_table();
@@ -197,6 +199,10 @@ struct RefIndex {
 // Per-pair parser workspace (reusable across queries against one reference).
 // --------------------------------------------------------------------------
 // Optional per-parse event counters (device-engine design instrumentation).
+struct EventLogSink {
+    std::vector<int32_t> rec;  // 8 int32 per event
+};
+
 struct EventStats {
     int64_t match_events = 0;  // main-loop iterations emitting a factor
     int64_t lit_synced = 0;    // literal steps with an active prediction
@@ -214,13 +220,14 @@ struct Parser {
     std::vector<int32_t> win;
     std::vector<std::pair<int32_t, bool>> lhs, rhs;
     EventStats* ev = nullptr;
+    EventLogSink* evlog = nullptr;
 
     void set_reference(const RefIndex& idx) {
         ri = &idx;
         cfg = idx.cfg;
     }
 
-    void set_query(const uint8_t* q, int64_t n) {
+    void set_query(const uint8_t* q, int64_t n, bool streams = true) {
         qbuf.clear();
         qbuf.reserve((size_t)(n + cfg.mrd));
         for (int64_t i = 0; i < n; ++i) {
@@ -228,8 +235,47 @@ struct Parser {
             qbuf.push_back(s == SYM_N_REF ? SYM_N_SEQ : s);
         }
         qbuf.insert(qbuf.end(), (size_t)cfg.mrd, SYM_N_SEQ);
+        if (!streams) return;
         kmer_stream(q_seeds, qbuf.data(), (int64_t)qbuf.size(), cfg.msl);
         kmer_stream(q_anchors, qbuf.data(), (int64_t)qbuf.size(), cfg.mal);
+    }
+
+    // Replay a device-produced pseudo-factor stream into the real factor
+    // list. Pseudo kinds (device kernel contract, ops/pallas_engine.py):
+    //   0/1/2 = real LIT/CLOSE/DISTANT factors, passed through
+    //   3 = aligned range, forward  (emit_aligned_range backward=false)
+    //   4 = aligned range, backward (first match run opens a region)
+    //   5 = gap left part  {dpos, 5, r_left, len}  — must be followed by
+    //   6 = gap right part {dpos, 6, r_right, len} (same dpos/len)
+    // Returns false on a malformed stream.
+    bool expand_pseudo(const int32_t* pf, int64_t npf) {
+        fac.clear();
+        for (int64_t k = 0; k < npf; ++k) {
+            const int32_t* f = pf + 4 * k;
+            int32_t dpos = f[0], kind = f[1], rpos = f[2], len = f[3];
+            switch (kind) {
+                case F_LIT:
+                case F_CLOSE:
+                case F_DISTANT:
+                    fac.push_back({dpos, kind, rpos, len});
+                    break;
+                case 3:
+                case 4:
+                    emit_aligned_range(dpos, rpos, len, kind == 4);
+                    break;
+                case 5: {
+                    if (k + 1 >= npf) return false;
+                    const int32_t* g = pf + 4 * (k + 1);
+                    if (g[1] != 6 || g[0] != dpos || g[3] != len) return false;
+                    emit_gap_two_sided(dpos, rpos, g[2], len);
+                    ++k;
+                    break;
+                }
+                default:
+                    return false;
+            }
+        }
+        return true;
     }
 
     // Longest common extension between reference and query starting at the
@@ -356,6 +402,99 @@ struct Parser {
         }
     }
 
+    // Replay a device-produced event log into the real factor list.
+    //
+    // The device kernel makes the data-dependent *decisions* (which match to
+    // take, extension lengths); the factor emission below is the same code
+    // the full parser uses, driven by the log instead of index searches.
+    // Event record (8 int32): {i_ev, best_pos, best_len, bwd, ext, 0, 0, 0}.
+    // The replay recomputes bwd/ext with the reference window-scan and
+    // returns false on any mismatch — a free consistency check on the
+    // kernel's extension arithmetic.
+    bool replay_events(const int32_t* ev, int64_t nev) {
+        fac.clear();
+        const int dsz = (int)qbuf.size();
+        int pred = -dsz;
+        int lit_run = 0;
+        int reg_lo = -1, reg_hi = 0;
+        int i = 0;
+        for (int64_t k = 0; k < nev; ++k) {
+            const int32_t* e = ev + 8 * k;
+            int i_ev = e[0], best_pos = e[1], best_len = e[2];
+            int bwd_log = e[3], ext_log = e[4];
+            if (i_ev < i || i_ev + cfg.msl >= dsz) return false;
+            while (i < i_ev) {
+                ++i;
+                ++pred;
+                ++lit_run;
+                if (lit_run > cfg.mqd) pred = -dsz;
+            }
+            int32_t flag = F_DISTANT;
+            if (pred >= 0 && std::abs(best_pos - pred) <= cfg.mrd) {
+                if (bwd_log != 0) return false;
+                emit_gap_two_sided(i - lit_run, pred - lit_run,
+                                   best_pos + best_len, lit_run);
+                fac.push_back({i, F_CLOSE, best_pos, best_len});
+            } else {
+                if (lit_run)
+                    fac.push_back({i - lit_run, F_LIT, 0, lit_run});
+                if (reg_lo >= 0 && reg_hi - reg_lo < cfg.reg) {
+                    while (!fac.empty() && fac.back().dpos >= reg_lo)
+                        fac.pop_back();
+                    int run_len = i - reg_lo;
+                    while (!fac.empty() && fac.back().kind == F_LIT) {
+                        run_len += fac.back().len;
+                        fac.pop_back();
+                    }
+                    fac.push_back({i - run_len, F_LIT, 0, run_len});
+                    reg_lo = -1;
+                }
+                if (!fac.empty() && fac.back().kind == F_LIT) {
+                    int bwd = extend_bwd(i, best_pos, fac.back().len);
+                    if (bwd != bwd_log) return false;
+                    if (bwd) {
+                        fac.back().len -= bwd;
+                        if (fac.back().len == 0) fac.pop_back();
+                        emit_aligned_range(i - bwd, best_pos - bwd, bwd, true);
+                        flag = F_CLOSE;
+                        reg_lo = i - bwd;
+                    }
+                } else if (bwd_log != 0) {
+                    return false;
+                }
+                fac.push_back({i, flag, best_pos, best_len});
+                if (flag == F_DISTANT) reg_lo = i;
+                if (reg_lo < 0)
+                    for (int j = (int)fac.size() - 1; j >= 0; --j)
+                        if (fac[(size_t)j].kind == F_DISTANT) {
+                            reg_lo = fac[(size_t)j].dpos;
+                            break;
+                        }
+            }
+            i += best_len;
+            pred = best_pos + best_len;
+            lit_run = 0;
+            int ext = extend_fwd(i, pred);
+            if (ext != ext_log) return false;
+            emit_aligned_range(i, pred, ext, false);
+            i += ext;
+            pred += ext;
+            reg_hi = i;
+        }
+        while (i + cfg.msl < dsz) {
+            ++i;
+            ++pred;
+            ++lit_run;
+            if (lit_run > cfg.mqd) pred = -dsz;
+        }
+        if (pred < 0)
+            fac.push_back({i - lit_run, F_LIT, 0, lit_run + (dsz - i)});
+        else
+            emit_aligned_range(i - lit_run, pred - lit_run - cfg.msl,
+                               lit_run + (dsz - i), false);
+        return true;
+    }
+
     // Sliding-window approximate extension: advance while the mismatch count
     // within the last `aw` symbols stays <= `am`; the result is the largest
     // prefix ending with a run of >= `ar` matches (parser.cpp:377-441).
@@ -480,6 +619,8 @@ struct Parser {
 
             if (best_len >= cfg.msl) {
                 int32_t flag = F_DISTANT;
+                const int ev_i = i;
+                int ev_bwd = 0;
 
                 if (pred >= 0 && std::abs(best_pos - pred) <= cfg.mrd) {
                     // close match: retro-align the pending literal gap
@@ -507,6 +648,7 @@ struct Parser {
                     // approximate backward extension into the literal run
                     if (!fac.empty() && fac.back().kind == F_LIT) {
                         int bwd = extend_bwd(i, best_pos, fac.back().len);
+                        ev_bwd = bwd;
                         if (bwd) {
                             fac.back().len -= bwd;
                             if (fac.back().len == 0) fac.pop_back();
@@ -533,6 +675,11 @@ struct Parser {
 
                 int ext = extend_fwd(i, pred);
                 emit_aligned_range(i, pred, ext, false);
+                if (evlog) {
+                    int32_t r[8] = {ev_i, best_pos, best_len, ev_bwd, ext,
+                                    0, 0, 0};
+                    evlog->rec.insert(evlog->rec.end(), r, r + 8);
+                }
                 if (ev) {
                     ++ev->match_events;
                     ev->match_symbols += best_len;
@@ -689,6 +836,106 @@ void lza_parse_events(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
     out[2] = ev.lit_desync;
     out[3] = ev.ext_symbols;
     out[4] = ev.match_symbols;
+}
+
+// Finalize a device-produced pseudo-factor stream: expand it against the
+// composite buffers rebuilt from raw codes, then compute stats (and regions
+// when a buffer is given). Returns region count, or -1 on malformed input.
+int64_t lza_pseudo_finalize(const uint8_t* ref, int64_t ref_len,
+                            const uint8_t* q, int64_t q_len,
+                            const lza_cfg* cfg, const int32_t* pf,
+                            int64_t npf, int32_t* stats, int32_t* regions,
+                            int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg), /*tables=*/false);
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len, /*streams=*/false);
+    if (!p.expand_pseudo(pf, npf)) return -1;
+    p.stats(stats);
+    if (!regions) return 0;
+    std::vector<lza::Region> regs;
+    p.regions(regs);
+    int64_t n = std::min<int64_t>((int64_t)regs.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(regions + 6 * k, &regs[(size_t)k], 6 * sizeof(int32_t));
+    return (int64_t)regs.size();
+}
+
+// Replay a device event log: rebuild buffers, replay emissions, compute
+// stats (+regions when given). Returns region count, or -1 on an
+// inconsistent log (including bwd/ext mismatches with the reference scans).
+int64_t lza_replay_finalize(const uint8_t* ref, int64_t ref_len,
+                            const uint8_t* q, int64_t q_len,
+                            const lza_cfg* cfg, const int32_t* ev,
+                            int64_t nev, int32_t* stats, int32_t* regions,
+                            int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg), /*tables=*/false);
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len, /*streams=*/false);
+    if (!p.replay_events(ev, nev)) return -1;
+    p.stats(stats);
+    if (!regions) return 0;
+    std::vector<lza::Region> regs;
+    p.regions(regs);
+    int64_t n = std::min<int64_t>((int64_t)regs.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(regions + 6 * k, &regs[(size_t)k], 6 * sizeof(int32_t));
+    return (int64_t)regs.size();
+}
+
+// Replay to raw factors (kernel validation aid).
+int64_t lza_replay_factors(const uint8_t* ref, int64_t ref_len,
+                           const uint8_t* q, int64_t q_len,
+                           const lza_cfg* cfg, const int32_t* ev, int64_t nev,
+                           int32_t* out, int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg), /*tables=*/false);
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len, /*streams=*/false);
+    if (!p.replay_events(ev, nev)) return -1;
+    int64_t n = std::min<int64_t>((int64_t)p.fac.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(out + 4 * k, &p.fac[(size_t)k], 4 * sizeof(int32_t));
+    return (int64_t)p.fac.size();
+}
+
+// Dump the event log of a full native parse (kernel validation aid):
+// 8 int32 per event {i_ev, best_pos, best_len, bwd, ext, 0,0,0}.
+int64_t lza_parse_event_log(const uint8_t* ref, int64_t ref_len,
+                            const uint8_t* q, int64_t q_len,
+                            const lza_cfg* cfg, int32_t* out, int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg));
+    lza::Parser p;
+    lza::EventLogSink sink;
+    p.evlog = &sink;
+    p.set_reference(idx);
+    p.set_query(q, q_len);
+    p.parse();
+    int64_t n = std::min<int64_t>((int64_t)sink.rec.size() / 8, cap);
+    for (int64_t k = 0; k < 8 * n; ++k) out[k] = sink.rec[(size_t)k];
+    return (int64_t)(sink.rec.size() / 8);
+}
+
+// Expand a pseudo-factor stream to real factors (kernel validation aid).
+int64_t lza_expand_pseudo(const uint8_t* ref, int64_t ref_len,
+                          const uint8_t* q, int64_t q_len, const lza_cfg* cfg,
+                          const int32_t* pf, int64_t npf, int32_t* out,
+                          int64_t cap) {
+    lza::RefIndex idx;
+    idx.build(ref, ref_len, to_cfg(cfg), /*tables=*/false);
+    lza::Parser p;
+    p.set_reference(idx);
+    p.set_query(q, q_len, /*streams=*/false);
+    if (!p.expand_pseudo(pf, npf)) return -1;
+    int64_t n = std::min<int64_t>((int64_t)p.fac.size(), cap);
+    for (int64_t k = 0; k < n; ++k)
+        std::memcpy(out + 4 * k, &p.fac[(size_t)k], 4 * sizeof(int32_t));
+    return (int64_t)p.fac.size();
 }
 
 // Dump the raw factor list for a pair (debug aid for kernel validation).

@@ -61,6 +61,33 @@ def get_lib():
             ct.POINTER(ct.c_uint8), ct.c_int64,
             ct.POINTER(LzaCfg), ct.POINTER(ct.c_int32), ct.c_int64,
         ]
+        lib.lza_pseudo_finalize.restype = ct.c_int64
+        lib.lza_pseudo_finalize.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(LzaCfg), ct.POINTER(ct.c_int32), ct.c_int64,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int64,
+        ]
+        lib.lza_expand_pseudo.restype = ct.c_int64
+        lib.lza_expand_pseudo.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(LzaCfg), ct.POINTER(ct.c_int32), ct.c_int64,
+            ct.POINTER(ct.c_int32), ct.c_int64,
+        ]
+        _pairsig = [ct.POINTER(ct.c_uint8), ct.c_int64,
+                    ct.POINTER(ct.c_uint8), ct.c_int64, ct.POINTER(LzaCfg)]
+        lib.lza_replay_finalize.restype = ct.c_int64
+        lib.lza_replay_finalize.argtypes = _pairsig + [
+            ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.c_int64]
+        lib.lza_replay_factors.restype = ct.c_int64
+        lib.lza_replay_factors.argtypes = _pairsig + [
+            ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int32),
+            ct.c_int64]
+        lib.lza_parse_event_log.restype = ct.c_int64
+        lib.lza_parse_event_log.argtypes = _pairsig + [
+            ct.POINTER(ct.c_int32), ct.c_int64]
         lib.lza_all2all.restype = ct.c_int32
         lib.lza_all2all.argtypes = [
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64), ct.c_int64,
@@ -122,6 +149,132 @@ def parse_factors(ref: np.ndarray, query: np.ndarray, params) -> np.ndarray:
                               ct.byref(cfg),
                               out.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
     assert n <= cap, "factor buffer overflow"
+    return out[:n]
+
+
+def pseudo_finalize(ref: np.ndarray, query: np.ndarray, params,
+                    pseudo: np.ndarray, want_regions: bool = False):
+    """Expand a device pseudo-factor stream and compute stats (+regions).
+
+    pseudo: int32 (n, 4) records {dpos, kind, rpos, len}; kinds 0/1/2 are
+    real factors, 3/4 aligned ranges, 5/6 a gap pair (see lzani_core.cpp).
+    """
+    lib = get_lib()
+    cfg = make_cfg(params)
+    pseudo = np.ascontiguousarray(pseudo, dtype=np.int32)
+    stats = np.zeros(3, dtype=np.int32)
+    pf = pseudo.ctypes.data_as(ct.POINTER(ct.c_int32))
+    if not want_regions:
+        rc = lib.lza_pseudo_finalize(_u8p(ref), len(ref), _u8p(query),
+                                     len(query), ct.byref(cfg), pf,
+                                     len(pseudo),
+                                     stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                     None, 0)
+        assert rc >= 0, "malformed pseudo-factor stream"
+        return tuple(int(x) for x in stats), None
+    cap = max(64, len(query) // max(params.min_region_len, 1) + 8)
+    regs = np.zeros((cap, 6), dtype=np.int32)
+    n = lib.lza_pseudo_finalize(_u8p(ref), len(ref), _u8p(query), len(query),
+                                ct.byref(cfg), pf, len(pseudo),
+                                stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                regs.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                cap)
+    assert n >= 0, "malformed pseudo-factor stream"
+    if n > cap:
+        regs = np.zeros((n, 6), dtype=np.int32)
+        lib.lza_pseudo_finalize(_u8p(ref), len(ref), _u8p(query), len(query),
+                                ct.byref(cfg), pf, len(pseudo),
+                                stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                regs.ctypes.data_as(ct.POINTER(ct.c_int32)), n)
+    return tuple(int(x) for x in stats), regs[:n]
+
+
+def expand_pseudo(ref: np.ndarray, query: np.ndarray, params,
+                  pseudo: np.ndarray) -> np.ndarray:
+    """Expand a pseudo-factor stream to the real factor list (debug)."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    pseudo = np.ascontiguousarray(pseudo, dtype=np.int32)
+    cap = len(query) + params.max_dist_in_ref + 64
+    out = np.zeros((cap, 4), dtype=np.int32)
+    n = lib.lza_expand_pseudo(_u8p(ref), len(ref), _u8p(query), len(query),
+                              ct.byref(cfg),
+                              pseudo.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                              len(pseudo),
+                              out.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
+    assert 0 <= n <= cap
+    return out[:n]
+
+
+def parse_event_log(ref: np.ndarray, query: np.ndarray, params) -> np.ndarray:
+    """Event log of the native parse: int32 (n, 8) records
+    {i_ev, best_pos, best_len, bwd, ext, 0, 0, 0} — the decision stream the
+    device kernel must reproduce."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    cap = len(query) + 16
+    out = np.zeros((cap, 8), dtype=np.int32)
+    n = lib.lza_parse_event_log(_u8p(ref), len(ref), _u8p(query), len(query),
+                                ct.byref(cfg),
+                                out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                cap)
+    assert 0 <= n <= cap
+    return out[:n]
+
+
+def replay_events(ref: np.ndarray, query: np.ndarray, params,
+                  events: np.ndarray, want_regions: bool = False):
+    """Replay a device event log into (stats, regions). Raises on an
+    inconsistent log (bwd/ext cross-checked against reference scans)."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    events = np.ascontiguousarray(events, dtype=np.int32)
+    stats = np.zeros(3, dtype=np.int32)
+    evp = events.ctypes.data_as(ct.POINTER(ct.c_int32))
+    nev = len(events)
+    if not want_regions:
+        rc = lib.lza_replay_finalize(_u8p(ref), len(ref), _u8p(query),
+                                     len(query), ct.byref(cfg), evp, nev,
+                                     stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                     None, 0)
+        if rc < 0:
+            raise ValueError("inconsistent event log")
+        return tuple(int(x) for x in stats), None
+    cap = max(64, len(query) // max(params.min_region_len, 1) + 8)
+    regs = np.zeros((cap, 6), dtype=np.int32)
+    n = lib.lza_replay_finalize(_u8p(ref), len(ref), _u8p(query), len(query),
+                                ct.byref(cfg), evp, nev,
+                                stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                regs.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                cap)
+    if n < 0:
+        raise ValueError("inconsistent event log")
+    if n > cap:
+        regs = np.zeros((n, 6), dtype=np.int32)
+        lib.lza_replay_finalize(_u8p(ref), len(ref), _u8p(query), len(query),
+                                ct.byref(cfg), evp, nev,
+                                stats.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                                regs.ctypes.data_as(ct.POINTER(ct.c_int32)), n)
+    return tuple(int(x) for x in stats), regs[:n]
+
+
+def replay_factors(ref: np.ndarray, query: np.ndarray, params,
+                   events: np.ndarray) -> np.ndarray:
+    """Replay a device event log to the raw factor list (validation aid)."""
+    lib = get_lib()
+    cfg = make_cfg(params)
+    events = np.ascontiguousarray(events, dtype=np.int32)
+    cap = len(query) + params.max_dist_in_ref + 64
+    out = np.zeros((cap, 4), dtype=np.int32)
+    n = lib.lza_replay_factors(_u8p(ref), len(ref), _u8p(query), len(query),
+                               ct.byref(cfg),
+                               events.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                               len(events),
+                               out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                               cap)
+    if n < 0:
+        raise ValueError("inconsistent event log")
+    assert n <= cap
     return out[:n]
 
 
