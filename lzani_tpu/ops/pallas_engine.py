@@ -1,0 +1,648 @@
+"""Pallas TPU kernel for the LZ-ANI greedy parse — event-log architecture.
+
+The kernel reproduces the reference parser's *decision stream*: one record
+per accepted match {i_ev, best_pos, best_len, bwd, ext}. The host replays
+the stream through the native emission machinery (lza_replay_finalize),
+which cross-checks bwd/ext and rebuilds factors/stats/regions exactly
+(tests/test_event_replay.py proves the contract closed-loop).
+
+Search semantics implemented TPU-first (see ops/DESIGN.md):
+  * synced seed search  = dense band LCE matrix over the prediction window
+    (binary-lifting diagonal doubling), replacing ht_short buckets
+    (reference parser.cpp:548-580) — identical winners and tie-breaks
+  * anchor search       = host-precomputed direct-address join over 11-mers
+    (candidate ranges); in-kernel per-candidate exact extension replaces
+    ht_long probing (parser.cpp:507-531); smallest-position tie-break
+  * anchor-vs-seed      = exact boolean WIN table (ops/anchor_tables.py)
+    replacing the f64 fpow comparison (parser.cpp:604-623)
+  * approx extensions   = chunked vectorized sliding-window scans
+    (parser.cpp:377-441), windowed sums via lane-shift cumsum
+
+All device compute is int32/int8/f32 — no x64 anywhere in the kernel.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .anchor_tables import (SAT, build_anchor_join, build_win_table,
+                            kmer_stream_np)
+from .parse import ParseCfg
+from .prep import SYM_N_REF, SYM_N_SEQ, query_buffer_np, ref_buffer_np
+
+I32 = jnp.int32
+BIG = (1 << 30)  # python int: avoids captured-constant tracing in pallas
+
+CAP = 64          # band LCE cap (level-1)
+CAP2 = 512        # escalation strip depth per round
+QROWS = 112       # band matrix rows  (>= D-1 + CAP = 104 at defaults)
+RCOLS = 256       # band matrix cols  (>= W-1 + CAP = 206 at defaults)... see check in engine
+CH = 512          # chunk for exact-LCE / extension scans
+EV_STRIDE = 8     # int32 per event record
+
+
+# ---------------------------------------------------------------------------
+# small vector helpers (all Mosaic-friendly: aligned loads + rolls + shifts)
+# ---------------------------------------------------------------------------
+
+def align_load(ref, p, n):
+    """(1, n) slice of row 0 at dynamic offset p >= 0; n multiple of 128."""
+    base = (p // 128) * 128
+    rem = p - base
+    m = n + 128
+    blk = ref[0:1, pl.ds(pl.multiple_of(base, 128), m)]
+    return pltpu.roll(blk, m - rem, 1)[0:1, :n]
+
+
+def vext(ref, p):
+    """Scalar ref[0, p] for dynamic p (VMEM-legal: aligned load + roll)."""
+    base = (p // 128) * 128
+    rem = p - base
+    blk = ref[0:1, pl.ds(pl.multiple_of(base, 128), 128)]
+    return pltpu.roll(blk, 128 - rem, 1)[0, 0]
+
+
+def to_col(vrow, n):
+    """(1, n) -> (n, 1) without a transpose op: contract with an identity
+    matrix via dot_general (exact for values < 2^24 in f32)."""
+    r = jax.lax.broadcasted_iota(I32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(I32, (n, n), 1)
+    eye = (r == c).astype(jnp.float32)
+    out = jax.lax.dot_general(eye, vrow.astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(I32)  # (n, 1)
+
+
+def reverse_lanes(vrow):
+    """(1, n) lane reversal via an anti-identity MXU contraction
+    (no lane-permute gather needed; exact for values < 2^24)."""
+    n = vrow.shape[1]
+    r = jax.lax.broadcasted_iota(I32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(I32, (n, n), 1)
+    anti = (r + c == n - 1).astype(jnp.float32)
+    out = jax.lax.dot_general(vrow.astype(jnp.float32), anti,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(I32)  # (1, n), out[0, j] = vrow[0, n-1-j]
+
+
+def diag_lce(E, cap):
+    """S[a,b] = min(cap, run of 1s along the diagonal from (a,b)).
+    E: (A, B) int8 0/1. Returns int32 (A, B). cap must be a power of two."""
+    S = E
+    A = E
+    step = 1
+    while step < cap:
+        Ash = jnp.pad(A[step:, step:], ((0, step), (0, step)))
+        Ssh = jnp.pad(S[step:, step:], ((0, step), (0, step)))
+        S = S + A * Ssh
+        A = A * Ash
+        step *= 2
+    return S.astype(I32)
+
+
+def lane_cumsum(v):
+    """Inclusive cumsum along lanes of (1, N) int32 via shift-doubling."""
+    n = v.shape[1]
+    step = 1
+    while step < n:
+        v = v + jnp.pad(v[:, :-step], ((0, 0), (step, 0)))
+        step *= 2
+    return v
+
+
+def lane_cummax(v):
+    n = v.shape[1]
+    step = 1
+    while step < n:
+        v = jnp.maximum(v, jnp.pad(v[:, :-step], ((0, 0), (step, 0)),
+                                   constant_values=-(1 << 30)))
+        step *= 2
+    return v
+
+
+def lane_iota(n):
+    return jax.lax.broadcasted_iota(I32, (1, n), 1)
+
+
+# ---------------------------------------------------------------------------
+# kernel factory
+# ---------------------------------------------------------------------------
+
+def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
+                      WinP: int, EvL: int):
+    mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
+    reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
+    D = mqd + 1                      # max future positions per superstep
+    W = mqd + mrd                    # band width (window offsets)
+    NL = mqd + 1                     # WIN table lr entries
+    NS = SAT - msl + 1               # WIN table sl entries
+    assert D - 1 + CAP <= QROWS
+    assert W - 1 + CAP <= RCOLS - 50  # head-room for rrow loads
+
+    # ---------------- in-kernel helpers bound to refs ---------------------
+
+    def exact_lce(qref, rref, qs, rs, cap):
+        """Exact LCE between qref[0, qs:] and rref[0, rs:], bounded by cap
+        (which must itself bound both buffers; padding symbols differ, so
+        runs always terminate before the pads run out)."""
+
+        def body(st):
+            off, _ = st
+            qb = align_load(qref, qs + off, CH)
+            rb = align_load(rref, rs + off, CH)
+            neq = (qb != rb).astype(I32)
+            # first mismatch position in this chunk (CH if none)
+            fm = jnp.min(jnp.where(neq > 0, lane_iota(CH), CH))
+            return off + CH, fm
+
+        def cond(st):
+            off, fm = st
+            return (fm == CH) & (off < cap)
+
+        # run at least once
+        off, fm = body((jnp.int32(0), jnp.int32(CH)))
+        off, fm = jax.lax.while_loop(cond, lambda st: body(st), (off, fm))
+        return jnp.minimum(off - CH + fm, cap)
+
+    def ext_scan(qref, rref, dpos, rpos, cap, max_len, forward):
+        """The approximate sliding-window extension (parser.cpp:377-441),
+        exact semantics, vectorized per 128-chunk.
+
+        forward: e-th symbols are q[dpos+e], r[rpos+e]; else q[dpos-1-e],
+        r[rpos-1-e]. cap = positional bound (min over buffer edges);
+        max_len = extra bound (backward: the literal length; BIG forward).
+        Returns the reference scan's `last`.
+        """
+        total = jnp.minimum(cap, max_len)
+        CE = 128
+
+        def body(st):
+            base, run0, tail, last, done = st
+            nv = jnp.minimum(total - base, CE)
+
+            if forward:
+                qb = align_load(qref, dpos + base, CE)
+                rb = align_load(rref, rpos + base, CE)
+                miss = (qb != rb).astype(I32)   # lane j -> e = base + j
+            else:
+                # e = base + j needs q[dpos-1-base-j]; load the ascending
+                # blocks ending at dpos-base / rpos-base, reverse lanes,
+                # then roll so that lane j lines up with e = base + j.
+                # When fewer than CE symbols remain before the buffer
+                # start, shift both loads consistently by `sh`.
+                sq = dpos - base - CE
+                sr = rpos - base - CE
+                sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
+                qb = align_load(qref, sq + sh, CE)
+                rb = align_load(rref, sr + sh, CE)
+                m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
+                mr = reverse_lanes(m0)          # lane j -> e = base-sh+j
+                miss = pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
+                # lanes j >= CE - sh wrapped around; they are beyond the
+                # positional cap (total <= min(dpos, rpos) <= base+CE-sh)
+                # and get masked by nv below.
+
+            io = lane_iota(CE)
+            valid = io < nv
+            m_eff = jnp.where(valid, miss, 0)
+
+            # bad(e) = sum of miss over the last `aw` e's (including e),
+            # carry tail holds miss for e = base-(aw-1) .. base-1 in lanes
+            # 0..aw-2 of a (1, 128) vector.
+            cs = lane_cumsum(m_eff)
+            cs_shift = jnp.pad(cs[:, :-aw], ((0, 0), (aw, 0)))
+            win_local = cs - cs_shift
+            # carry contribution: tail[k] is in window(e=base+el) iff
+            # el <= k, so carry_bad(el) = suffix_sum(tail)[el]
+            sufs = reverse_lanes(lane_cumsum(reverse_lanes(tail)))
+            carry_bad = jnp.where(io <= aw - 2, sufs, 0)
+            bad = win_local + carry_bad
+
+            stop = valid & (bad > am)
+            stop_e = jnp.min(jnp.where(stop, io, BIG))
+
+            # run(e) = consecutive matches ending at e; carry run0
+            lm = lane_cummax(jnp.where(m_eff > 0, io, -BIG))
+            lm = jnp.maximum(lm, -(run0 + 1))
+            run = io - lm
+            ok = valid & (m_eff == 0) & (run >= ar) & (io < stop_e)
+            cand = jnp.max(jnp.where(ok, base + io + 1, 0))
+            last = jnp.maximum(last, cand)
+
+            done = (stop_e != BIG) | (nv < CE)
+            run_end = jnp.max(jnp.where(io == CE - 1, run, 0))
+            # new tail: miss at e = base+CE-(aw-1)+k  -> lane CE-(aw-1)+k
+            ntail = pltpu.roll(m_eff, aw - 1, 1)
+            ntail = jnp.where(io <= aw - 2, ntail, 0)
+            return base + CE, run_end, ntail, last, done
+
+        init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
+                jnp.int32(0), jnp.bool_(False))
+
+        def cond(st):
+            base, _, _, _, done = st
+            return (~done) & (base < total)
+
+        _, _, _, last, _ = jax.lax.while_loop(cond, body, init)
+        return last
+
+    # ---------------- the kernel itself ------------------------------------
+
+    def kernel(scal_ref, refbuf, qbuf, poslist, cand_lo, cand_cnt,
+               next_hit, win, ev_out, nev_out):
+        dsz = scal_ref[0, 0]
+        nr = scal_ref[0, 1]
+
+        def resolve_anchor(jpos):
+            """(a_len, a_pos) per ht_long semantics; (0,0) if no candidate.
+            Exact lengths; smallest position wins ties (strict >)."""
+            lo = vext(cand_lo, jpos)
+            cnt = vext(cand_cnt, jpos)
+
+            def run(_):
+                pvec = align_load(poslist, lo, 128)
+
+                def body(c, st):
+                    blen, bpos = st
+                    pc = pltpu.roll(pvec, 128 - c, 1)[0, 0]
+                    ml = exact_lce(qbuf, refbuf, jpos, pc,
+                                   jnp.minimum(nr - pc, dsz - jpos))
+                    take = ml > blen
+                    return (jnp.where(take, ml, blen),
+                            jnp.where(take, pc, bpos))
+
+                blen, bpos = jax.lax.fori_loop(
+                    0, cnt, body, (jnp.int32(0), jnp.int32(0)))
+                return blen, bpos
+
+            return jax.lax.cond(cnt > 0, run,
+                                lambda _: (jnp.int32(0), jnp.int32(0)),
+                                None)
+
+        def log_event(st, i_ev, bpos, blen, bwd, ext):
+            ne, pend = st
+            lane0 = (ne % 16) * 8
+            io = lane_iota(128)
+            rec = jnp.where(io == lane0, i_ev,
+                  jnp.where(io == lane0 + 1, bpos,
+                  jnp.where(io == lane0 + 2, blen,
+                  jnp.where(io == lane0 + 3, bwd,
+                  jnp.where(io == lane0 + 4, ext, 0)))))
+            pend = jnp.where((io >= lane0) & (io < lane0 + 8), rec, pend)
+            ne = ne + 1
+
+            def flush(pend):
+                blk = (ne // 16) - 1
+                ev_out[0:1, pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+                return jnp.zeros((1, 128), I32)
+
+            pend = jax.lax.cond(ne % 16 == 0, flush, lambda p: p, pend)
+            return ne, pend
+
+        def apply_match(state, i_ev, bpos, blen):
+            """Shared match application: updates scalar state, computes
+            bwd/ext, logs the event. Mirrors parser.cpp:626-697 via the
+            scalar-tracking argument (ops/DESIGN.md)."""
+            (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
+             ne, pend) = state
+            lit_ev = lit_run + (i_ev - i)
+            pred_ev = pred + (i_ev - i)
+
+            close = (pred_ev >= 0) & (jnp.abs(bpos - pred_ev) <= mrd)
+
+            def close_branch(_):
+                # gap + CLOSE emission; reg state untouched; top is CLOSE
+                return (reg_lo, reg_hi, jnp.int32(0), lit_below,
+                        jnp.int32(0))
+
+            def distant_branch(_):
+                # effective top-literal at bwd-check time: flush, then kill
+                # replacement (ops/DESIGN.md scalar-tracking argument)
+                tl = jnp.where(lit_ev > 0, lit_ev, top_lit)
+                do_kill = (reg_lo >= 0) & (reg_hi - reg_lo < reg)
+                run_len = (i_ev - reg_lo) + lit_below
+                tl = jnp.where(do_kill, run_len, tl)
+                # backward extension into the top literal
+                bwd = jax.lax.cond(
+                    tl > 0,
+                    lambda _: ext_scan(qbuf, refbuf, i_ev, bpos,
+                                       jnp.minimum(i_ev, bpos), tl,
+                                       forward=False),
+                    lambda _: jnp.int32(0), None)
+                use_bwd = bwd > 0
+                rl = jnp.where(use_bwd, i_ev - bwd, i_ev)
+                lb = jnp.where(use_bwd, tl - bwd, tl)
+                return (rl, reg_hi, jnp.int32(0), lb, bwd)
+
+            reg_lo2, reg_hi2, top_lit2, lit_below2, bwd = jax.lax.cond(
+                close, close_branch, distant_branch, None)
+
+            i2 = i_ev + blen
+            pred2 = bpos + blen
+            ext = ext_scan(qbuf, refbuf, i2, pred2,
+                           jnp.minimum(dsz - i2, nr - pred2), BIG,
+                           forward=True)
+            ne2, pend2 = log_event((ne, pend), i_ev, bpos, blen, bwd, ext)
+            i3 = i2 + ext
+            pred3 = pred2 + ext
+            return (i3, pred3, jnp.int32(0), reg_lo2, i3, top_lit2,
+                    lit_below2, ne2, pend2)
+
+        # ---------------- desync step --------------------------------------
+        def desync_step(state):
+            (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
+             ne, pend) = state
+            j = vext(next_hit, i)
+
+            def to_end(_):
+                # no more anchors: run out the loop as literals
+                delta = (dsz - msl) - i
+                return (i + delta, pred + delta, lit_run + delta, reg_lo,
+                        reg_hi, top_lit, lit_below, ne, pend)
+
+            def at_candidate(_):
+                # NOTE: unlike the synced branch, the desynced search has
+                # no `if (a_pos)` sentinel — a best match AT reference
+                # position 0 is a real match (parser.cpp:507-531 vs :604)
+                a_len, a_pos = resolve_anchor(j)
+                st2 = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
+                       lit_below, ne, pend)
+                return apply_match(st2, j, a_pos, a_len)
+
+            return jax.lax.cond(j >= dsz - msl, to_end, at_candidate, None)
+
+        # ---------------- synced superstep ---------------------------------
+        def sync_step(state):
+            (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
+             ne, pend) = state
+            D_dyn = mqd - lit_run + 1
+            D_eff = jnp.minimum(D_dyn, (dsz - msl) - i)
+            lo0 = pred - lit_run
+            b0 = jnp.maximum(lo0, 0)
+
+            qrow = align_load(qbuf, i, 128)            # a < QROWS <= 128
+            rrow = align_load(refbuf, b0, RCOLS)
+            qcol = to_col(qrow, 128)[:QROWS]           # (QROWS, 1)
+            E = (qcol == rrow).astype(jnp.int8)        # (QROWS, RCOLS)
+            S = diag_lce(E, CAP)                       # int32
+
+            rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
+            coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
+            w = b0 + coli
+            pred_d = pred + rowi
+            valid = ((rowi < D_eff) & (coli < W + rowi)
+                     & (w < pred_d + mrd) & (S >= msl))
+            # seed-any per row
+            seed_any_m = jnp.max(jnp.where(valid, 1, 0), axis=1,
+                                 keepdims=True)        # (QROWS, 1)
+
+            cvec = align_load(cand_cnt, i, 128)        # lanes d
+            anch_row = (cvec > 0).astype(I32)          # (1,128)
+            anch_col = to_col(anch_row, 128)[:QROWS]   # (QROWS,1)
+            di = jax.lax.broadcasted_iota(I32, (QROWS, 1), 0)
+            hit = ((seed_any_m > 0) | (anch_col > 0)) & (di < D_eff)
+            d_ev = jnp.min(jnp.where(hit, di, BIG))
+
+            def no_event(_):
+                adv = D_eff
+                new_lr = lit_run + adv
+                desync = new_lr > mqd
+                return (i + adv, jnp.where(desync, -dsz, pred + adv),
+                        new_lr, reg_lo, reg_hi, top_lit, lit_below, ne,
+                        pend)
+
+            def with_event(_):
+                # loop over possibly-spurious anchor-only positions
+                def try_at(carry):
+                    d0, done, out_state = carry
+                    dd = jnp.min(jnp.where(hit & (di >= d0), di, BIG))
+
+                    def none_left(_):
+                        st = no_event(None)
+                        return (jnp.int32(BIG), jnp.bool_(True), st)
+
+                    def attempt(_):
+                        # seed best in row dd
+                        rowmask = (rowi == dd) & valid
+                        Sm = jnp.where(rowmask, S, -1)
+                        lmax = jnp.max(Sm)
+                        dist = jnp.abs(w - (pred + dd))
+                        tie = jnp.where((Sm == lmax) & (lmax >= 0),
+                                        ((127 - dist) << 9) | (511 - coli),
+                                        -1)
+                        tbest = jnp.max(tie)
+                        brel = 511 - (tbest & 511)
+                        s_found = lmax >= msl
+                        s_pos = b0 + brel
+
+                        # escalate capped seed lengths to exact: only
+                        # capped candidates can beat the capped max; walk
+                        # them in ascending column order (preserves the
+                        # smallest-position-on-tie rule) via masked-min.
+                        def escalate(args):
+                            capped_col = jnp.where(rowmask & (S == CAP),
+                                                   coli, BIG)
+
+                            def nxt(c0):
+                                return jnp.min(
+                                    jnp.where(capped_col >= c0, capped_col,
+                                              BIG))
+
+                            def contest(st):
+                                c, blen, bpos, bdist = st
+                                p = b0 + c
+                                ml = exact_lce(
+                                    qbuf, refbuf, i + dd, p,
+                                    jnp.minimum(nr - p, dsz - (i + dd)))
+                                dst = jnp.abs(p - (pred + dd))
+                                better = (ml > blen) | (
+                                    (ml == blen) & (dst < bdist))
+                                return (nxt(c + 1),
+                                        jnp.where(better, ml, blen),
+                                        jnp.where(better, p, bpos),
+                                        jnp.where(better, dst, bdist))
+
+                            c0 = nxt(jnp.int32(0))
+                            _, blen, bpos, _ = jax.lax.while_loop(
+                                lambda st: st[0] != BIG, contest,
+                                (c0, jnp.int32(0), jnp.int32(0), jnp.int32(BIG)))
+                            return blen, bpos
+
+                        s_len, s_pos = jax.lax.cond(
+                            (lmax == CAP) & s_found, escalate,
+                            lambda a: a, (lmax, s_pos))
+
+                        a_len, a_pos = jax.lax.cond(
+                            jnp.max(jnp.where((di == dd), anch_col, 0)) > 0,
+                            lambda _: resolve_anchor(i + dd),
+                            lambda _: (jnp.int32(0), jnp.int32(0)), None)
+
+                        def pick(_):
+                            # arbitration (WIN table) when both present
+                            def arb(_):
+                                alc = jnp.minimum(a_len, SAT) - mal
+                                slc = jnp.minimum(s_len, SAT) - msl
+                                lr_ev = lit_run + dd
+                                widx = (alc * NS + slc) * NL + lr_ev
+                                return vext(win, widx) > 0
+
+                            take_a = jax.lax.cond(
+                                a_pos != 0,
+                                lambda _: jax.lax.cond(
+                                    s_found & (s_pos != 0), arb,
+                                    lambda _: jnp.bool_(True), None),
+                                lambda _: jnp.bool_(False), None)
+                            take_a = take_a & (a_pos != 0)
+                            use_seed = s_found & ~take_a
+                            bl = jnp.where(take_a, a_len, s_len)
+                            bp = jnp.where(take_a, a_pos, s_pos)
+                            good = take_a | use_seed
+
+                            def apply(_):
+                                st2 = (i, pred, lit_run, reg_lo, reg_hi,
+                                       top_lit, lit_below, ne, pend)
+                                return (jnp.int32(BIG), jnp.bool_(True),
+                                        apply_match(st2, i + dd, bp, bl))
+
+                            def spurious(_):
+                                return (dd + 1, jnp.bool_(False),
+                                        out_state)
+
+                            return jax.lax.cond(good, apply, spurious,
+                                                None)
+
+                        return pick(None)
+
+                    return jax.lax.cond(dd == BIG, none_left, attempt,
+                                        None)
+
+                init = (d_ev, jnp.bool_(False), state)
+                _, _, out = jax.lax.while_loop(lambda c: ~c[1], try_at,
+                                               init)
+                return out
+
+            return jax.lax.cond(d_ev == BIG, no_event, with_event, None)
+
+        # ---------------- main loop ----------------------------------------
+        def step(state):
+            return jax.lax.cond(state[1] >= 0, sync_step, desync_step,
+                                state)
+
+        init = (jnp.int32(0), -dsz, jnp.int32(0), jnp.int32(-1),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.zeros((1, 128), I32))
+        final = jax.lax.while_loop(lambda st: st[0] + msl < dsz, step, init)
+        ne, pend = final[7], final[8]
+
+        # flush the partial event block
+        def flushp(_):
+            blk = ne // 16
+            ev_out[0:1, pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+
+        jax.lax.cond(ne % 16 != 0, flushp, lambda _: None, None)
+        nev_out[0, 0] = ne
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+def _pad128(n):
+    return -(-n // 128) * 128
+
+
+class PallasRefIndex:
+    """Per-reference state for the event-log kernel."""
+
+    def __init__(self, codes: np.ndarray, params, interpret: bool = False):
+        self.cfg = ParseCfg.from_params(params)
+        cfg = self.cfg
+        mrd = cfg.mrd
+        self.interpret = interpret
+        rb = ref_buffer_np(codes, mrd)
+        self.nr = len(rb)
+        self.LrP = _pad128(self.nr) + 1024
+        buf = np.full((1, self.LrP), SYM_N_REF, np.int32)
+        buf[0, :self.nr] = rb
+        self.refbuf = buf
+        start, count, pos_s = build_anchor_join(rb, cfg.mal)
+        self.join_start = start
+        self.join_count = count
+        self.KaP = _pad128(max(len(pos_s), 1)) + 256
+        pl_arr = np.zeros((1, self.KaP), np.int32)
+        pl_arr[0, :len(pos_s)] = pos_s
+        self.poslist = pl_arr
+        win = build_win_table(self.nr, cfg.mal, cfg.msl, cfg.mrd, cfg.mqd)
+        self.win_flat = np.zeros((1, _pad128(win.size) + 128), np.int32)
+        self.win_flat[0, :win.size] = win.reshape(-1)
+
+    def prep_query(self, q_codes: np.ndarray):
+        cfg = self.cfg
+        qb = query_buffer_np(q_codes, cfg.mrd)
+        dsz = len(qb)
+        LqP = _pad128(dsz) + 1024
+        qbuf = np.full((1, LqP), SYM_N_SEQ, np.int32)
+        qbuf[0, :dsz] = qb
+        qkm = kmer_stream_np(qb, cfg.mal)
+        valid = qkm >= 0
+        keys = np.where(valid, qkm, 0)
+        cnt = np.where(valid, self.join_count[keys], 0).astype(np.int32)
+        lo = np.where(cnt > 0, self.join_start[keys], 0).astype(np.int32)
+        assert cnt.max(initial=0) <= 112, \
+            "anchor bucket overflow (pathological repeat); native fallback"
+        # next anchor-candidate position >= i, restricted to the loop range
+        limit = dsz - cfg.msl
+        hit = (cnt > 0) & (np.arange(dsz) < limit)
+        nh = np.full(dsz, dsz, np.int32)
+        nxt = dsz
+        for k in range(dsz - 1, -1, -1):
+            if hit[k]:
+                nxt = k
+            nh[k] = nxt
+        cand_lo = np.zeros((1, LqP), np.int32)
+        cand_cnt = np.zeros((1, LqP), np.int32)
+        next_hit = np.full((1, LqP), dsz, np.int32)
+        cand_lo[0, :dsz] = lo
+        cand_cnt[0, :dsz] = cnt
+        next_hit[0, :dsz] = nh
+        return qbuf, cand_lo, cand_cnt, next_hit, dsz, LqP
+
+    def parse_events(self, q_codes: np.ndarray) -> np.ndarray:
+        """Run the kernel for one query; returns the int32 (n, 8) event
+        log (kernel-validation entry; production path batches queries)."""
+        qbuf, cand_lo, cand_cnt, next_hit, dsz, LqP = self.prep_query(
+            q_codes)
+        EvL = _pad128(dsz * 8 + 256)
+        kern = make_parse_kernel(self.cfg, self.LrP, LqP, self.KaP,
+                                 self.win_flat.shape[1], EvL)
+        scal = np.array([[dsz, self.nr] + [0] * 6], np.int32)
+
+        @jax.jit
+        def run(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit,
+                win):
+            return pl.pallas_call(
+                kern,
+                out_shape=(jax.ShapeDtypeStruct((1, EvL), jnp.int32),
+                           jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+                out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                           pl.BlockSpec(memory_space=pltpu.SMEM)),
+                interpret=self.interpret,
+            )(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit,
+              win)
+
+        ev, ne = run(scal, self.refbuf, qbuf, self.poslist, cand_lo,
+                     cand_cnt, next_hit, self.win_flat)
+        n = int(np.asarray(ne)[0, 0])
+        return np.asarray(ev)[0, :n * 8].reshape(n, 8)
