@@ -93,17 +93,32 @@ def reverse_lanes(vrow):
     return out.astype(I32)  # (1, n), out[0, j] = vrow[0, n-1-j]
 
 
+def _dshift(M, step):
+    """out[i, j] = M[i+step, j+step], zero-filled — via circular rolls +
+    masking (Mosaic rejects pad/concat of offset layouts)."""
+    R, C = M.shape
+    M2 = pltpu.roll(pltpu.roll(M, R - step, 0), C - step, 1)
+    ri = jax.lax.broadcasted_iota(I32, (R, C), 0)
+    ci = jax.lax.broadcasted_iota(I32, (R, C), 1)
+    return jnp.where((ri < R - step) & (ci < C - step), M2, 0)
+
+
+def _lshift(v, step, fill):
+    """(1, n) lanes: out[j] = v[j-step] for j >= step else fill."""
+    n = v.shape[1]
+    r = pltpu.roll(v, step, 1)
+    return jnp.where(lane_iota(n) >= step, r, fill)
+
+
 def diag_lce(E, cap):
     """S[a,b] = min(cap, run of 1s along the diagonal from (a,b)).
-    E: (A, B) int8 0/1. Returns int32 (A, B). cap must be a power of two."""
+    E: (A, B) int32 0/1. Returns int32 (A, B). cap must be a power of two."""
     S = E
     A = E
     step = 1
     while step < cap:
-        Ash = jnp.pad(A[step:, step:], ((0, step), (0, step)))
-        Ssh = jnp.pad(S[step:, step:], ((0, step), (0, step)))
-        S = S + A * Ssh
-        A = A * Ash
+        S = S + A * _dshift(S, step)
+        A = A * _dshift(A, step)
         step *= 2
     return S.astype(I32)
 
@@ -113,7 +128,7 @@ def lane_cumsum(v):
     n = v.shape[1]
     step = 1
     while step < n:
-        v = v + jnp.pad(v[:, :-step], ((0, 0), (step, 0)))
+        v = v + _lshift(v, step, 0)
         step *= 2
     return v
 
@@ -122,8 +137,7 @@ def lane_cummax(v):
     n = v.shape[1]
     step = 1
     while step < n:
-        v = jnp.maximum(v, jnp.pad(v[:, :-step], ((0, 0), (step, 0)),
-                                   constant_values=-(1 << 30)))
+        v = jnp.maximum(v, _lshift(v, step, -(1 << 30)))
         step *= 2
     return v
 
@@ -218,7 +232,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # carry tail holds miss for e = base-(aw-1) .. base-1 in lanes
             # 0..aw-2 of a (1, 128) vector.
             cs = lane_cumsum(m_eff)
-            cs_shift = jnp.pad(cs[:, :-aw], ((0, 0), (aw, 0)))
+            cs_shift = _lshift(cs, aw, 0)
             win_local = cs - cs_shift
             # carry contribution: tail[k] is in window(e=base+el) iff
             # el <= k, so carry_bad(el) = suffix_sum(tail)[el]
@@ -391,7 +405,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             qrow = align_load(qbuf, i, 128)            # a < QROWS <= 128
             rrow = align_load(refbuf, b0, RCOLS)
             qcol = to_col(qrow, 128)[:QROWS]           # (QROWS, 1)
-            E = (qcol == rrow).astype(jnp.int8)        # (QROWS, RCOLS)
+            E = (qcol == rrow).astype(I32)             # (QROWS, RCOLS)
             S = diag_lce(E, CAP)                       # int32
 
             rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
@@ -623,26 +637,35 @@ class PallasRefIndex:
         qbuf, cand_lo, cand_cnt, next_hit, dsz, LqP = self.prep_query(
             q_codes)
         EvL = _pad128(dsz * 8 + 256)
-        kern = make_parse_kernel(self.cfg, self.LrP, LqP, self.KaP,
-                                 self.win_flat.shape[1], EvL)
+        run = _get_runner(self.cfg, self.LrP, LqP, self.KaP,
+                          self.win_flat.shape[1], EvL, self.interpret)
         scal = np.array([[dsz, self.nr] + [0] * 6], np.int32)
+        # the session enables x64 globally (the XLA automaton needs it);
+        # the kernel is pure int32 — trace and run it in 32-bit mode so
+        # python-int literals do not concretize as i64
+        with jax.enable_x64(False):
+            ev, ne = run(scal, self.refbuf, qbuf, self.poslist, cand_lo,
+                         cand_cnt, next_hit, self.win_flat)
+            n = int(np.asarray(ne)[0, 0])
+            return np.asarray(ev)[0, :n * 8].reshape(n, 8)
 
-        @jax.jit
-        def run(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit,
-                win):
-            return pl.pallas_call(
-                kern,
-                out_shape=(jax.ShapeDtypeStruct((1, EvL), jnp.int32),
-                           jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-                out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                           pl.BlockSpec(memory_space=pltpu.SMEM)),
-                interpret=self.interpret,
-            )(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit,
-              win)
 
-        ev, ne = run(scal, self.refbuf, qbuf, self.poslist, cand_lo,
-                     cand_cnt, next_hit, self.win_flat)
-        n = int(np.asarray(ne)[0, 0])
-        return np.asarray(ev)[0, :n * 8].reshape(n, 8)
+@lru_cache(maxsize=64)
+def _get_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
+                EvL: int, interpret: bool):
+    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+
+    @jax.jit
+    def run(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win):
+        return pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win)
+
+    return run
