@@ -152,6 +152,7 @@ def lane_iota(n):
 
 def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                       WinP: int, EvL: int):
+    MAXEV = EvL // 128 * 16  # event capacity of the output buffer
     mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
     reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
     D = mqd + 1                      # max future positions per superstep
@@ -553,7 +554,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         init = (jnp.int32(0), -dsz, jnp.int32(0), jnp.int32(-1),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((1, 128), I32))
-        final = jax.lax.while_loop(lambda st: st[0] + msl < dsz, step, init)
+        final = jax.lax.while_loop(
+            lambda st: (st[0] + msl < dsz) & (st[7] < MAXEV - 1), step,
+            init)
         ne, pend = final[7], final[8]
 
         # flush the partial event block
@@ -562,7 +565,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             ev_out[0:1, pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
 
         jax.lax.cond(ne % 16 != 0, flushp, lambda _: None, None)
-        nev_out[0, 0] = ne
+        # overflow (event buffer full before the parse finished) -> -1;
+        # the host falls back to the native engine for that pair
+        nev_out[0, 0] = jnp.where(final[0] + msl < dsz, -1, ne)
 
     return kernel
 
@@ -575,8 +580,25 @@ def _pad128(n):
     return -(-n // 128) * 128
 
 
+def _bucket(n, lo=4096):
+    """Power-of-two shape bucket (keeps the Mosaic compile count small)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 class PallasRefIndex:
-    """Per-reference state for the event-log kernel."""
+    """Per-reference state for the event-log kernel.
+
+    The composite buffer, anchor position list, and WIN table are uploaded
+    to the device once per reference (the tunnel/host link, not the kernel,
+    dominates per-pair cost otherwise); queries run through a grid-batched
+    pallas_call so a whole batch costs one dispatch.
+    """
+
+    #: event capacity per query (events beyond fall back to native)
+    MAXEV = 4096
 
     def __init__(self, codes: np.ndarray, params, interpret: bool = False):
         self.cfg = ParseCfg.from_params(params)
@@ -585,87 +607,192 @@ class PallasRefIndex:
         self.interpret = interpret
         rb = ref_buffer_np(codes, mrd)
         self.nr = len(rb)
-        self.LrP = _pad128(self.nr) + 1024
+        self.LrP = _bucket(self.nr + 1024)
         buf = np.full((1, self.LrP), SYM_N_REF, np.int32)
         buf[0, :self.nr] = rb
-        self.refbuf = buf
         start, count, pos_s = build_anchor_join(rb, cfg.mal)
         self.join_start = start
         self.join_count = count
-        self.KaP = _pad128(max(len(pos_s), 1)) + 256
+        self.KaP = _bucket(len(pos_s) + 256, lo=1024)
         pl_arr = np.zeros((1, self.KaP), np.int32)
         pl_arr[0, :len(pos_s)] = pos_s
-        self.poslist = pl_arr
         win = build_win_table(self.nr, cfg.mal, cfg.msl, cfg.mrd, cfg.mqd)
-        self.win_flat = np.zeros((1, _pad128(win.size) + 128), np.int32)
-        self.win_flat[0, :win.size] = win.reshape(-1)
+        wf = np.zeros((1, _pad128(win.size) + 128), np.int32)
+        wf[0, :win.size] = win.reshape(-1)
+        self.WinP = wf.shape[1]
+        if interpret:
+            self.refbuf, self.poslist, self.win_flat = buf, pl_arr, wf
+        else:  # device-resident, uploaded once
+            with jax.enable_x64(False):
+                self.refbuf = jax.device_put(buf)
+                self.poslist = jax.device_put(pl_arr)
+                self.win_flat = jax.device_put(wf)
 
-    def prep_query(self, q_codes: np.ndarray):
+    def _prep_query_np(self, q_codes: np.ndarray, LqP: int):
         cfg = self.cfg
         qb = query_buffer_np(q_codes, cfg.mrd)
         dsz = len(qb)
-        LqP = _pad128(dsz) + 1024
-        qbuf = np.full((1, LqP), SYM_N_SEQ, np.int32)
-        qbuf[0, :dsz] = qb
+        qbuf = np.full(LqP, SYM_N_SEQ, np.int32)
+        qbuf[:dsz] = qb
         qkm = kmer_stream_np(qb, cfg.mal)
         valid = qkm >= 0
         keys = np.where(valid, qkm, 0)
         cnt = np.where(valid, self.join_count[keys], 0).astype(np.int32)
         lo = np.where(cnt > 0, self.join_start[keys], 0).astype(np.int32)
-        assert cnt.max(initial=0) <= 112, \
-            "anchor bucket overflow (pathological repeat); native fallback"
-        # next anchor-candidate position >= i, restricted to the loop range
+        if cnt.max(initial=0) > 112:
+            return None  # pathological anchor bucket; native fallback
         limit = dsz - cfg.msl
         hit = (cnt > 0) & (np.arange(dsz) < limit)
-        nh = np.full(dsz, dsz, np.int32)
-        nxt = dsz
-        for k in range(dsz - 1, -1, -1):
-            if hit[k]:
-                nxt = k
-            nh[k] = nxt
-        cand_lo = np.zeros((1, LqP), np.int32)
-        cand_cnt = np.zeros((1, LqP), np.int32)
-        next_hit = np.full((1, LqP), dsz, np.int32)
-        cand_lo[0, :dsz] = lo
-        cand_cnt[0, :dsz] = cnt
-        next_hit[0, :dsz] = nh
-        return qbuf, cand_lo, cand_cnt, next_hit, dsz, LqP
+        # next anchor-candidate position >= i (suffix scan, vectorized)
+        idxs = np.where(hit, np.arange(dsz), dsz)
+        nh = np.minimum.accumulate(idxs[::-1])[::-1].astype(np.int32)
+        cand_lo = np.zeros(LqP, np.int32)
+        cand_cnt = np.zeros(LqP, np.int32)
+        next_hit = np.full(LqP, dsz, np.int32)
+        cand_lo[:dsz] = lo
+        cand_cnt[:dsz] = cnt
+        next_hit[:dsz] = nh
+        return qbuf, cand_lo, cand_cnt, next_hit, dsz
+
+    def parse_events_batch(self, queries: list) -> list:
+        """Run the kernel over a query batch (one dispatch). Returns a list
+        of int32 (n, 8) event logs; None entries = native fallback needed.
+        """
+        cfg = self.cfg
+        B = len(queries)
+        max_dsz = max(len(q) + cfg.mrd for q in queries)
+        LqP = _bucket(max_dsz + 1024)
+        EvL = self.MAXEV * 8
+        qb = np.zeros((B, LqP), np.int32)
+        clo = np.zeros((B, LqP), np.int32)
+        ccn = np.zeros((B, LqP), np.int32)
+        nh = np.zeros((B, LqP), np.int32)
+        scal = np.zeros((B, 128), np.int32)
+        skip = [False] * B
+        for b, q in enumerate(queries):
+            prep = self._prep_query_np(q, LqP)
+            if prep is None:
+                skip[b] = True
+                qb[b] = SYM_N_SEQ
+                scal[b, 0] = cfg.msl  # dsz small -> kernel no-ops
+                scal[b, 1] = self.nr
+                continue
+            qb[b], clo[b], ccn[b], nh[b], dsz = prep
+            scal[b, 0] = dsz
+            scal[b, 1] = self.nr
+
+        run = _get_batch_runner(cfg, self.LrP, LqP, self.KaP, self.WinP,
+                                EvL, B, self.interpret)
+        with jax.enable_x64(False):
+            ev, nev = run(scal[:, None, :], self.refbuf, qb[:, None, :],
+                          self.poslist, clo[:, None, :], ccn[:, None, :],
+                          nh[:, None, :], self.win_flat)
+            nev_h = np.asarray(nev)[:, 0, 0]
+            ev_h = np.asarray(ev)[:, 0, :]  # (B, EvL)
+        out = []
+        for b in range(B):
+            n = int(nev_h[b])
+            if skip[b] or n < 0:
+                out.append(None)
+            else:
+                out.append(ev_h[b, :n * 8].reshape(n, 8))
+        return out
 
     def parse_events(self, q_codes: np.ndarray) -> np.ndarray:
-        """Run the kernel for one query; returns the int32 (n, 8) event
-        log (kernel-validation entry; production path batches queries)."""
-        qbuf, cand_lo, cand_cnt, next_hit, dsz, LqP = self.prep_query(
-            q_codes)
-        EvL = _pad128(dsz * 8 + 256)
-        run = _get_runner(self.cfg, self.LrP, LqP, self.KaP,
-                          self.win_flat.shape[1], EvL, self.interpret)
-        scal = np.array([[dsz, self.nr] + [0] * 6], np.int32)
-        # the session enables x64 globally (the XLA automaton needs it);
-        # the kernel is pure int32 — trace and run it in 32-bit mode so
-        # python-int literals do not concretize as i64
-        with jax.enable_x64(False):
-            ev, ne = run(scal, self.refbuf, qbuf, self.poslist, cand_lo,
-                         cand_cnt, next_hit, self.win_flat)
-            n = int(np.asarray(ne)[0, 0])
-            return np.asarray(ev)[0, :n * 8].reshape(n, 8)
+        """Single-query entry (validation); raises on fallback cases."""
+        ev = self.parse_events_batch([q_codes])[0]
+        assert ev is not None, "kernel fallback (bucket overflow / MAXEV)"
+        return ev
 
 
 @lru_cache(maxsize=64)
-def _get_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
-                EvL: int, interpret: bool):
+def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
+                      WinP: int, EvL: int, B: int, interpret: bool):
     kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+
+    shared = lambda b: (0, 0)
+    perq = lambda b: (b, 0, 0)
 
     @jax.jit
     def run(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win):
+        # per-query arrays are (B, 1, X); the squeezed (None) batch dim
+        # keeps in-kernel refs 2D (1, X), matching the load helpers
         return pl.pallas_call(
             kern,
-            out_shape=(jax.ShapeDtypeStruct((1, EvL), jnp.int32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            grid=(B,),
+            out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+            in_specs=[
+                pl.BlockSpec((None, 1, 128), perq, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((None, 1, EvL), perq,
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((None, 1, 1), perq,
+                                    memory_space=pltpu.SMEM)),
             interpret=interpret,
         )(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# production driver: all-vs-all on the device kernel + host replay
+# ---------------------------------------------------------------------------
+
+def all2all_pallas(codes, params, filter_csr=None, progress=None,
+                   batch_size: int = 64):
+    """All-vs-all triples via the device kernel; layout matches
+    native_engine.all2all. The kernel produces event logs; the native
+    replay reconstructs exact stats (and cross-checks extensions)."""
+    from ..core import native_engine
+
+    n = len(codes)
+    if filter_csr is None:
+        out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
+    else:
+        indptr, ids = filter_csr
+        out = np.zeros((len(ids), 3), dtype=np.int32)
+
+    for r in range(n):
+        if filter_csr is None:
+            q_ids = [q for q in range(n) if q != r]
+        else:
+            q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
+        if not q_ids:
+            continue
+        idx = PallasRefIndex(codes[r], params)
+        order = sorted(range(len(q_ids)), key=lambda k: len(codes[q_ids[k]]))
+        for s0 in range(0, len(order), batch_size):
+            sel = order[s0:s0 + batch_size]
+            evs = idx.parse_events_batch([codes[q_ids[k]] for k in sel])
+            for row, k in enumerate(sel):
+                q = q_ids[k]
+                ev = evs[row]
+                if ev is not None:
+                    try:
+                        stats, _ = native_engine.replay_events(
+                            codes[r], codes[q], params, ev)
+                    except ValueError:
+                        stats, _ = native_engine.parse_pair(
+                            codes[r], codes[q], params)
+                else:
+                    stats, _ = native_engine.parse_pair(codes[r], codes[q],
+                                                        params)
+                if filter_csr is None:
+                    out[r, q - 1 if q > r else q] = stats
+                else:
+                    out[int(indptr[r]) + k] = stats
+        if progress is not None:
+            progress(r + 1, n)
+    return out
