@@ -972,7 +972,9 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
                     const int64_t* indptr, const int32_t* ids,
                     const lza_cfg* cfg, int32_t n_threads, int32_t* out,
                     const char* region_path, int32_t flt_enabled,
-                    double flt_gani, double flt_ani, double flt_qcov) {
+                    double flt_gani, double flt_ani, double flt_qcov,
+                    int64_t* progress) {
+    // progress (optional, polled by the host): [0]=rows done, [1]=pairs done
     std::atomic<int64_t> next_row{0};
     std::FILE* rf = nullptr;
     std::mutex rf_mtx;
@@ -1032,7 +1034,11 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
                         std::fwrite(rec.data(), sizeof(int32_t), rec.size(), rf);
                     }
                 }
+                if (progress)
+                    __atomic_add_fetch(&progress[1], 1, __ATOMIC_RELAXED);
             }
+            if (progress)
+                __atomic_add_fetch(&progress[0], 1, __ATOMIC_RELAXED);
         }
     };
 

@@ -94,6 +94,7 @@ def get_lib():
             ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
             ct.POINTER(LzaCfg), ct.c_int32, ct.POINTER(ct.c_int32),
             ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
+            ct.POINTER(ct.c_int64),
         ]
         _lib = lib
         return lib
@@ -279,7 +280,8 @@ def replay_factors(ref: np.ndarray, query: np.ndarray, params,
 
 
 def all2all(codes: list[np.ndarray], params, filter_csr=None,
-            region_path: str | None = None) -> np.ndarray:
+            region_path: str | None = None,
+            progress: np.ndarray | None = None) -> np.ndarray:
     """Run the threaded all-vs-all engine.
 
     Returns int32 triples: dense mode shape (n, n-1, 3) where row r column c
@@ -316,6 +318,8 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
         region_path.encode() if region_path else None,
         flt_enabled, flt.get("gani", 0.0), flt.get("ani", 0.0),
         flt.get("qcov", 0.0),
+        progress.ctypes.data_as(ct.POINTER(ct.c_int64))
+        if progress is not None else None,
     )
     if rc != 0:
         raise RuntimeError(f"lza_all2all failed with code {rc}")

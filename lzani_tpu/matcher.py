@@ -89,8 +89,41 @@ class Matcher:
 
         if backend == "native":
             from .core import native_engine
-            triples = native_engine.all2all(
-                self.store.codes, p, filter_csr=csr, region_path=region_path)
+            prog = None
+            mon = None
+            if p.verbosity_level >= 2:
+                import threading
+
+                import numpy as np
+
+                n = len(self.store)
+                total_pairs = (sum(len(r) for r in
+                                   (self.filter.rows if self.filter else []))
+                               or n * (n - 1))
+                prog = np.zeros(2, dtype=np.int64)
+                stop = threading.Event()
+
+                def monitor():
+                    last = ""
+                    while not stop.is_set():
+                        s = (f"Sequences: {100 * prog[0] // max(n, 1)}%    "
+                             f"Pairs: {100 * prog[1] // max(total_pairs, 1)}%")
+                        if s != last:
+                            print(s + "       ", end="\r", file=sys.stderr,
+                                  flush=True)
+                            last = s
+                        stop.wait(0.2)
+
+                mon = threading.Thread(target=monitor, daemon=True)
+                mon.start()
+            try:
+                triples = native_engine.all2all(
+                    self.store.codes, p, filter_csr=csr,
+                    region_path=region_path, progress=prog)
+            finally:
+                if mon is not None:
+                    stop.set()
+                    mon.join()
         elif backend == "pallas":
             from .ops.pallas_engine import all2all_pallas
             triples = all2all_pallas(self.store.codes, p, filter_csr=csr)

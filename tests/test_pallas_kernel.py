@@ -1,0 +1,55 @@
+"""Pallas kernel semantics on CPU (interpret mode) vs the native oracle.
+The full-scale TPU validation lives in scripts/test_kernel_vir61.py; this
+keeps the contract pinned in CI-sized tests."""
+
+import numpy as np
+
+from lzani_tpu.core import native_engine as ne
+from lzani_tpu.ops.pallas_engine import PallasRefIndex, all2all_pallas
+from lzani_tpu.params import Params
+
+
+def _check(ref, q, p):
+    ev_o = ne.parse_event_log(ref, q, p)
+    idx = PallasRefIndex(ref, p, interpret=True)
+    ev_k = idx.parse_events(q)
+    assert np.array_equal(ev_o, ev_k)
+    st_o, regs_o = ne.parse_pair(ref, q, p, want_regions=True)
+    st_k, regs_k = ne.replay_events(ref, q, p, ev_k, want_regions=True)
+    assert st_o == st_k
+    assert np.array_equal(regs_o, regs_k)
+
+
+def test_kernel_matches_oracle_mixed_paths():
+    p = Params()
+    rng = np.random.RandomState(3)
+    ref = rng.randint(0, 4, 600).astype(np.uint8)
+    # close matches + kills + desync: moderate mutation with a spliced gap
+    q = ref.copy()
+    m = rng.rand(600) < 0.12
+    q[m] = (q[m] + rng.randint(1, 4, m.sum())) % 4
+    q = np.concatenate([q[:200], rng.randint(0, 4, 150).astype(np.uint8),
+                        q[350:]])
+    _check(ref, q, p)
+
+
+def test_kernel_matches_oracle_repeats():
+    p = Params()
+    rng = np.random.RandomState(4)
+    unit = rng.randint(0, 4, 37).astype(np.uint8)
+    ref = np.tile(unit, 12)
+    q = ref.copy()
+    q[::41] = (q[::41] + 1) % 4
+    _check(ref, q[:400], p)
+
+
+def test_kernel_batch_and_fallback():
+    p = Params()
+    rng = np.random.RandomState(5)
+    ref = rng.randint(0, 4, 500).astype(np.uint8)
+    qs = [ref[:450].copy(), rng.randint(0, 4, 300).astype(np.uint8)]
+    idx = PallasRefIndex(ref, p, interpret=True)
+    evs = idx.parse_events_batch(qs)
+    for q, ev in zip(qs, evs):
+        assert ev is not None
+        assert np.array_equal(ne.parse_event_log(ref, q, p), ev)
