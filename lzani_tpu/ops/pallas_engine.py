@@ -751,12 +751,21 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # ---------------------------------------------------------------------------
 
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
-                   batch_size: int = 64):
+                   batch_size: int = 64, replay_threads: int = 0):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
-    replay reconstructs exact stats (and cross-checks extensions)."""
+    replay reconstructs exact stats (and cross-checks extensions).
+
+    Host work (query prep, C++ replay) overlaps with device batches via a
+    small thread pool — the reference's host threads become the *feeder*
+    of the accelerator rather than the compute engine.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..core import native_engine
 
+    nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
     n = len(codes)
     if filter_csr is None:
         out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
@@ -764,35 +773,42 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         indptr, ids = filter_csr
         out = np.zeros((len(ids), 3), dtype=np.int32)
 
-    for r in range(n):
-        if filter_csr is None:
-            q_ids = [q for q in range(n) if q != r]
+    def finalize(r, q, ev, slot):
+        if ev is not None:
+            try:
+                stats, _ = native_engine.replay_events(codes[r], codes[q],
+                                                       params, ev)
+            except ValueError:
+                stats, _ = native_engine.parse_pair(codes[r], codes[q],
+                                                    params)
         else:
-            q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
-        if not q_ids:
-            continue
-        idx = PallasRefIndex(codes[r], params)
-        order = sorted(range(len(q_ids)), key=lambda k: len(codes[q_ids[k]]))
-        for s0 in range(0, len(order), batch_size):
-            sel = order[s0:s0 + batch_size]
-            evs = idx.parse_events_batch([codes[q_ids[k]] for k in sel])
-            for row, k in enumerate(sel):
-                q = q_ids[k]
-                ev = evs[row]
-                if ev is not None:
-                    try:
-                        stats, _ = native_engine.replay_events(
-                            codes[r], codes[q], params, ev)
-                    except ValueError:
-                        stats, _ = native_engine.parse_pair(
-                            codes[r], codes[q], params)
-                else:
-                    stats, _ = native_engine.parse_pair(codes[r], codes[q],
-                                                        params)
-                if filter_csr is None:
-                    out[r, q - 1 if q > r else q] = stats
-                else:
-                    out[int(indptr[r]) + k] = stats
-        if progress is not None:
-            progress(r + 1, n)
+            stats, _ = native_engine.parse_pair(codes[r], codes[q], params)
+        out[slot] = stats
+
+    with ThreadPoolExecutor(max_workers=nthreads) as pool:
+        pending = []
+        for r in range(n):
+            if filter_csr is None:
+                q_ids = [q for q in range(n) if q != r]
+            else:
+                q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
+            if not q_ids:
+                continue
+            idx = PallasRefIndex(codes[r], params)
+            order = sorted(range(len(q_ids)),
+                           key=lambda k: len(codes[q_ids[k]]))
+            for s0 in range(0, len(order), batch_size):
+                sel = order[s0:s0 + batch_size]
+                evs = idx.parse_events_batch(
+                    [codes[q_ids[k]] for k in sel])
+                for row, k in enumerate(sel):
+                    q = q_ids[k]
+                    slot = ((r, q - 1 if q > r else q)
+                            if filter_csr is None else int(indptr[r]) + k)
+                    pending.append(pool.submit(finalize, r, q, evs[row],
+                                               slot))
+            if progress is not None:
+                progress(r + 1, n)
+        for f in pending:
+            f.result()
     return out
