@@ -126,11 +126,8 @@ class Matcher:
                     mon.join()
         elif backend == "pallas":
             from .ops.pallas_engine import all2all_pallas
-            triples = all2all_pallas(self.store.codes, p, filter_csr=csr)
-            if region_path:
-                from .core import native_engine
-                native_engine.all2all(self.store.codes, p, filter_csr=csr,
-                                      region_path=region_path)
+            triples = all2all_pallas(self.store.codes, p, filter_csr=csr,
+                                     region_path=region_path)
         elif backend == "jax":
             from .ops.engine_jax import all2all_jax
             triples = all2all_jax(self.store.codes, p, filter_csr=csr)

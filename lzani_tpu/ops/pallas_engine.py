@@ -751,7 +751,8 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # ---------------------------------------------------------------------------
 
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
-                   batch_size: int = 64, replay_threads: int = 0):
+                   batch_size: int = 64, replay_threads: int = 0,
+                   region_path: str | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -761,11 +762,20 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     of the accelerator rather than the compute engine.
     """
     import os
+    import struct
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from ..core import native_engine
 
     nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
+    rf = open(region_path, "wb") if region_path else None
+    rf_lock = threading.Lock()
+    flt = params.output_filter
+    f_gani = flt.get("gani", 0.0)
+    f_ani = flt.get("ani", 0.0)
+    f_qcov = flt.get("qcov", 0.0)
+    want_regions = rf is not None
     n = len(codes)
     if filter_csr is None:
         out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
@@ -776,14 +786,32 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     def finalize(r, q, ev, slot):
         if ev is not None:
             try:
-                stats, _ = native_engine.replay_events(codes[r], codes[q],
-                                                       params, ev)
+                stats, regs = native_engine.replay_events(
+                    codes[r], codes[q], params, ev,
+                    want_regions=want_regions)
             except ValueError:
-                stats, _ = native_engine.parse_pair(codes[r], codes[q],
-                                                    params)
+                stats, regs = native_engine.parse_pair(
+                    codes[r], codes[q], params, want_regions=want_regions)
         else:
-            stats, _ = native_engine.parse_pair(codes[r], codes[q], params)
+            stats, regs = native_engine.parse_pair(
+                codes[r], codes[q], params, want_regions=want_regions)
         out[slot] = stats
+        if rf is not None:
+            # per-alignment dump with the reference pre-filter
+            # (lz_matcher.cpp:115-138)
+            m = int(regs[:, 4].sum()) if len(regs) else 0
+            l = int(regs[:, 5].sum()) if len(regs) else 0
+            q_len = len(codes[q])
+            gani = m / q_len
+            ani = m / (m + l) if (m + l) else 0.0
+            qcov = (m + l) / q_len
+            if not flt or (gani >= f_gani and ani >= f_ani
+                           and qcov >= f_qcov):
+                rec = np.concatenate(
+                    [np.array([r, q, len(regs)], np.int32),
+                     np.asarray(regs, np.int32).reshape(-1)])
+                with rf_lock:
+                    rec.tofile(rf)
 
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
         pending = []
@@ -811,4 +839,6 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 progress(r + 1, n)
         for f in pending:
             f.result()
+    if rf is not None:
+        rf.close()
     return out
