@@ -600,7 +600,8 @@ class PallasRefIndex:
     #: event capacity per query (events beyond fall back to native)
     MAXEV = 4096
 
-    def __init__(self, codes: np.ndarray, params, interpret: bool = False):
+    def __init__(self, codes: np.ndarray, params, interpret: bool = False,
+                 device=None):
         self.cfg = ParseCfg.from_params(params)
         cfg = self.cfg
         mrd = cfg.mrd
@@ -620,13 +621,14 @@ class PallasRefIndex:
         wf = np.zeros((1, _pad128(win.size) + 128), np.int32)
         wf[0, :win.size] = win.reshape(-1)
         self.WinP = wf.shape[1]
+        self.device = device
         if interpret:
             self.refbuf, self.poslist, self.win_flat = buf, pl_arr, wf
         else:  # device-resident, uploaded once
             with jax.enable_x64(False):
-                self.refbuf = jax.device_put(buf)
-                self.poslist = jax.device_put(pl_arr)
-                self.win_flat = jax.device_put(wf)
+                self.refbuf = jax.device_put(buf, device)
+                self.poslist = jax.device_put(pl_arr, device)
+                self.win_flat = jax.device_put(wf, device)
 
     def _prep_query_np(self, q_codes: np.ndarray, LqP: int):
         cfg = self.cfg
@@ -684,9 +686,13 @@ class PallasRefIndex:
         run = _get_batch_runner(cfg, self.LrP, LqP, self.KaP, self.WinP,
                                 EvL, B, self.interpret)
         with jax.enable_x64(False):
-            ev, nev = run(scal[:, None, :], self.refbuf, qb[:, None, :],
-                          self.poslist, clo[:, None, :], ccn[:, None, :],
-                          nh[:, None, :], self.win_flat)
+            perq = (scal[:, None, :], qb[:, None, :], clo[:, None, :],
+                    ccn[:, None, :], nh[:, None, :])
+            if self.device is not None:
+                perq = tuple(jax.device_put(a, self.device) for a in perq)
+            scal3, qb3, clo3, ccn3, nh3 = perq
+            ev, nev = run(scal3, self.refbuf, qb3, self.poslist, clo3,
+                          ccn3, nh3, self.win_flat)
             nev_h = np.asarray(nev)[:, 0, 0]
             ev_h = np.asarray(ev)[:, 0, :]  # (B, EvL)
         out = []
@@ -752,7 +758,7 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    batch_size: int = 64, replay_threads: int = 0,
-                   region_path: str | None = None):
+                   region_path: str | None = None, devices=None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -822,7 +828,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
             if not q_ids:
                 continue
-            idx = PallasRefIndex(codes[r], params)
+            idx = PallasRefIndex(codes[r], params, device=(
+                devices[r % len(devices)] if devices else None))
             order = sorted(range(len(q_ids)),
                            key=lambda k: len(codes[q_ids[k]]))
             for s0 in range(0, len(order), batch_size):

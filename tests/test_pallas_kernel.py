@@ -53,3 +53,35 @@ def test_kernel_batch_and_fallback():
     for q, ev in zip(qs, evs):
         assert ev is not None
         assert np.array_equal(ne.parse_event_log(ref, q, p), ev)
+
+
+def test_all2all_pallas_interpret_with_devices():
+    """Device round-robin structure (interpret mode ignores placement but
+    exercises the code path); result must equal the native engine."""
+    import jax
+
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 4, 400).astype(np.uint8)
+    codes = []
+    for i in range(4):
+        s = base.copy()
+        s[:: (i + 5)] = (s[:: (i + 5)] + 1) % 4
+        codes.append(s[: 400 - 11 * i])
+
+    # patch interpret mode through the index constructor
+    orig = pe.PallasRefIndex
+
+    class InterpIdx(orig):
+        def __init__(self, c, params, interpret=False, device=None):
+            super().__init__(c, params, interpret=True, device=None)
+
+    pe.PallasRefIndex = InterpIdx
+    try:
+        out = pe.all2all_pallas(codes, p, devices=jax.devices()[:2])
+    finally:
+        pe.PallasRefIndex = orig
+    want = ne.all2all(codes, p)
+    assert np.array_equal(out, want)
