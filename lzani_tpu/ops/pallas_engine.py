@@ -758,7 +758,8 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    batch_size: int = 64, replay_threads: int = 0,
-                   region_path: str | None = None, devices=None):
+                   region_path: str | None = None, devices=None,
+                   interpret: bool = False):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -819,6 +820,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 with rf_lock:
                     rec.tofile(rf)
 
+    eng = PallasAll2All(codes, params, interpret=interpret)
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
         pending = []
         for r in range(n):
@@ -828,16 +830,11 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
             if not q_ids:
                 continue
-            idx = PallasRefIndex(codes[r], params, device=(
-                devices[r % len(devices)] if devices else None))
-            order = sorted(range(len(q_ids)),
-                           key=lambda k: len(codes[q_ids[k]]))
-            for s0 in range(0, len(order), batch_size):
-                sel = order[s0:s0 + batch_size]
-                evs = idx.parse_events_batch(
-                    [codes[q_ids[k]] for k in sel])
-                for row, k in enumerate(sel):
-                    q = q_ids[k]
+            for s0 in range(0, len(q_ids), batch_size):
+                sel = q_ids[s0:s0 + batch_size]
+                evs = eng.run_ref(r, sel)
+                for row, q in enumerate(sel):
+                    k = s0 + row
                     slot = ((r, q - 1 if q > r else q)
                             if filter_csr is None else int(indptr[r]) + k)
                     pending.append(pool.submit(finalize, r, q, evs[row],
@@ -849,3 +846,139 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     if rf is not None:
         rf.close()
     return out
+
+
+# ---------------------------------------------------------------------------
+# on-device query preparation (v2 production path)
+#
+# The tunnel/host link is the bottleneck of the v1 flow (~512 KB of per-pair
+# candidate arrays). v2 keeps everything on device: the anchor join is
+# rebuilt from the resident reference buffer (kmer stream + stable sort +
+# scatter counts), and the per-query candidate/next-hit arrays are gathered
+# on device. Each query is uploaded exactly once per run.
+# ---------------------------------------------------------------------------
+
+def dev_kmer_stream(buf, k, n_sym=4):
+    """int32 k-mers per position of (B, L) int32 codes; -1 where the window
+    has a non-ACGT code or runs off the end (parser.cpp:53-103)."""
+    B, L = buf.shape
+    val = jnp.zeros((B, L), jnp.int32)
+    ok = jnp.ones((B, L), jnp.bool_)
+    for j in range(k):
+        sh = jnp.roll(buf, -j, axis=1)
+        val = (val << 2) | jnp.where(sh < n_sym, sh, 0)
+        ok &= sh < n_sym
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ok &= idx <= L - k
+    return jnp.where(ok, val, -1)
+
+
+@lru_cache(maxsize=16)
+def _dev_build_join(LrP: int, mal: int):
+    nk = 1 << (2 * mal)
+
+    @jax.jit
+    def build(refbuf):                       # (1, LrP) int32
+        km = dev_kmer_stream(refbuf, mal)[0]  # (LrP,)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
+        valid = km >= 0
+        keys = jnp.where(valid, km, nk)
+        # stable two-key sort (key, pos): lax.sort is stable
+        keys_s, pos_s = jax.lax.sort((keys, pos), num_keys=1)
+        count = jnp.zeros(nk + 1, jnp.int32).at[keys].add(1)
+        count = count[:nk]
+        start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+        return start, count, pos_s.reshape(1, LrP)
+
+    return build
+
+
+@lru_cache(maxsize=16)
+def _dev_prep_queries(B: int, LqP: int, mal: int, msl: int, cnt_cap: int):
+    @jax.jit
+    def prep(qkm, start, count, dsz):        # qkm (B, LqP), dsz (B,)
+        keys = jnp.where(qkm >= 0, qkm, 0)
+        cnt = jnp.where(qkm >= 0, count[keys], 0)
+        lo = jnp.where(cnt > 0, start[keys], 0)
+        overflow = jnp.max(cnt, axis=1) > cnt_cap
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
+        limit = (dsz - msl)[:, None]
+        hit = (cnt > 0) & (idx < limit)
+        nh_src = jnp.where(hit, idx, dsz[:, None])
+        nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 1), axis=1), 1)
+        mask = idx < dsz[:, None]
+        return (jnp.where(mask, lo, 0), jnp.where(mask, cnt, 0),
+                jnp.where(mask, nh, dsz[:, None]), overflow)
+
+    return prep
+
+
+class PallasAll2All:
+    """v2 all-vs-all driver: single query upload, on-device prep, one
+    kernel dispatch per reference."""
+
+    CNT_CAP = 112
+
+    def __init__(self, codes, params, devices=None, interpret=False):
+        self.codes = codes
+        self.params = params
+        self.interpret = interpret
+        self.cfg = ParseCfg.from_params(params)
+        cfg = self.cfg
+        n = len(codes)
+        self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
+        self.LqP = _bucket(int(self.dszs.max()) + 1024)
+        qb = np.full((n, self.LqP), SYM_N_SEQ, np.int32)
+        for i, c in enumerate(codes):
+            qb[i, :self.dszs[i]] = query_buffer_np(c, cfg.mrd)
+        with jax.enable_x64(False):
+            self.Q = jax.device_put(qb)
+            self.QKM = jax.jit(partial(dev_kmer_stream, k=cfg.mal))(self.Q)
+
+    def run_ref(self, r: int, batch: list[int]):
+        """Parse queries `batch` against reference r; returns event logs
+        (None entries = native fallback)."""
+        cfg = self.cfg
+        p = self.params
+        idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret)
+        true_B = len(batch)
+        B = 8
+        while B < true_B:
+            B *= 2
+        batch = list(batch) + [batch[0]] * (B - true_B)
+        with jax.enable_x64(False):
+            build = _dev_build_join(idx.LrP, cfg.mal)
+            start, count, pos_s = build(idx.refbuf)
+            # poslist for the kernel: pad the device pos list to KaP
+            KaP = idx.KaP
+            poslist = jnp.zeros((1, KaP), jnp.int32)
+            poslist = jax.lax.dynamic_update_slice(
+                poslist, pos_s[:, :min(KaP, pos_s.shape[1])], (0, 0))
+            prep = _dev_prep_queries(B, self.LqP, cfg.mal, cfg.msl,
+                                     self.CNT_CAP)
+            sel = jnp.asarray(np.array(batch, np.int32))
+            qkm = self.QKM[sel]
+            dsz = jnp.asarray(self.dszs[np.array(batch)])
+            clo, ccn, nh, overflow = prep(qkm, start, count, dsz)
+            EvL = PallasRefIndex.MAXEV * 8
+            run = _get_batch_runner(cfg, idx.LrP, self.LqP, KaP, idx.WinP,
+                                    EvL, B, self.interpret)
+            scal = np.zeros((B, 128), np.int32)
+            scal[:, 0] = self.dszs[np.array(batch)]
+            scal[:, 1] = idx.nr
+            ev, nev = run(scal[:, None, :], idx.refbuf,
+                          self.Q[sel][:, None, :], poslist,
+                          clo[:, None, :], ccn[:, None, :], nh[:, None, :],
+                          idx.win_flat)
+            ovf = np.asarray(overflow)
+            nev_h = np.asarray(nev)[:, 0, 0]
+            ev_h = np.asarray(ev)[:, 0, :]
+        out = []
+        for b in range(true_B):
+            n_ev = int(nev_h[b])
+            if ovf[b] or n_ev < 0:
+                out.append(None)
+            else:
+                out.append(ev_h[b, :n_ev * 8].reshape(n_ev, 8))
+        return out

@@ -71,17 +71,7 @@ def test_all2all_pallas_interpret_with_devices():
         s[:: (i + 5)] = (s[:: (i + 5)] + 1) % 4
         codes.append(s[: 400 - 11 * i])
 
-    # patch interpret mode through the index constructor
-    orig = pe.PallasRefIndex
-
-    class InterpIdx(orig):
-        def __init__(self, c, params, interpret=False, device=None):
-            super().__init__(c, params, interpret=True, device=None)
-
-    pe.PallasRefIndex = InterpIdx
-    try:
-        out = pe.all2all_pallas(codes, p, devices=jax.devices()[:2])
-    finally:
-        pe.PallasRefIndex = orig
+    out = pe.all2all_pallas(codes, p, devices=jax.devices()[:2],
+                            interpret=True)
     want = ne.all2all(codes, p)
     assert np.array_equal(out, want)
