@@ -601,7 +601,7 @@ class PallasRefIndex:
     MAXEV = 4096
 
     def __init__(self, codes: np.ndarray, params, interpret: bool = False,
-                 device=None):
+                 device=None, host_join: bool = True):
         self.cfg = ParseCfg.from_params(params)
         cfg = self.cfg
         mrd = cfg.mrd
@@ -611,12 +611,16 @@ class PallasRefIndex:
         self.LrP = _bucket(self.nr + 1024)
         buf = np.full((1, self.LrP), SYM_N_REF, np.int32)
         buf[0, :self.nr] = rb
-        start, count, pos_s = build_anchor_join(rb, cfg.mal)
-        self.join_start = start
-        self.join_count = count
-        self.KaP = _bucket(len(pos_s) + 256, lo=1024)
-        pl_arr = np.zeros((1, self.KaP), np.int32)
-        pl_arr[0, :len(pos_s)] = pos_s
+        if host_join:  # v1 path; v2 rebuilds the join on device
+            start, count, pos_s = build_anchor_join(rb, cfg.mal)
+            self.join_start = start
+            self.join_count = count
+            self.KaP = _bucket(len(pos_s) + 256, lo=1024)
+            pl_arr = np.zeros((1, self.KaP), np.int32)
+            pl_arr[0, :len(pos_s)] = pos_s
+        else:
+            self.KaP = _bucket(self.nr + 256, lo=1024)
+            pl_arr = None
         win = build_win_table(self.nr, cfg.mal, cfg.msl, cfg.mrd, cfg.mqd)
         wf = np.zeros((1, _pad128(win.size) + 128), np.int32)
         wf[0, :win.size] = win.reshape(-1)
@@ -627,7 +631,8 @@ class PallasRefIndex:
         else:  # device-resident, uploaded once
             with jax.enable_x64(False):
                 self.refbuf = jax.device_put(buf, device)
-                self.poslist = jax.device_put(pl_arr, device)
+                self.poslist = (jax.device_put(pl_arr, device)
+                                if pl_arr is not None else None)
                 self.win_flat = jax.device_put(wf, device)
 
     def _prep_query_np(self, q_codes: np.ndarray, LqP: int):
@@ -825,19 +830,23 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         pending = []
         for r in range(n):
             if filter_csr is None:
-                q_ids = [q for q in range(n) if q != r]
+                wanted = {q: None for q in range(n) if q != r}
             else:
-                q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
-            if not q_ids:
+                wanted = {int(q): int(indptr[r]) + k
+                          for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
+            if not wanted:
                 continue
-            for s0 in range(0, len(q_ids), batch_size):
-                sel = q_ids[s0:s0 + batch_size]
-                evs = eng.run_ref(r, sel)
-                for row, q in enumerate(sel):
-                    k = s0 + row
+            for lo in range(0, eng.n_pad, eng.B):
+                if not any(lo <= q < lo + eng.B for q in wanted):
+                    continue
+                evs = eng.run_range(r, lo)
+                for b in range(eng.B):
+                    q = lo + b
+                    if q not in wanted:
+                        continue
                     slot = ((r, q - 1 if q > r else q)
-                            if filter_csr is None else int(indptr[r]) + k)
-                    pending.append(pool.submit(finalize, r, q, evs[row],
+                            if filter_csr is None else wanted[q])
+                    pending.append(pool.submit(finalize, r, q, evs[b],
                                                slot))
             if progress is not None:
                 progress(r + 1, n)
@@ -914,6 +923,83 @@ def _dev_prep_queries(B: int, LqP: int, mal: int, msl: int, cnt_cap: int):
     return prep
 
 
+@lru_cache(maxsize=32)
+def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
+                  B: int, cnt_cap: int, ev_cap: int, interpret: bool):
+    """One fused jit per (shape bucket): device join build + query prep +
+    the pallas kernel + download-size reduction — a single dispatch per
+    reference batch."""
+    EvL = PallasRefIndex.MAXEV * 8
+    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+    mal, msl = cfg.mal, cfg.msl
+    nk = 1 << (2 * mal)
+
+    shared = lambda b: (0, 0)
+    perq = lambda b: (b, 0, 0)
+
+    @jax.jit
+    def step(refbuf, Qfull, QKMfull, lo_row, dsz, scal, win):
+        # --- join build (per reference) -----------------------------------
+        km = dev_kmer_stream(refbuf, mal)[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
+        keys = jnp.where(km >= 0, km, nk)
+        _, pos_s = jax.lax.sort((keys, pos), num_keys=1)
+        count = jnp.zeros(nk + 1, jnp.int32).at[keys].add(1)
+        count = count[:nk]
+        start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+        poslist = pos_s[:KaP].reshape(1, KaP) if KaP <= LrP else (
+            jnp.zeros((1, KaP), jnp.int32).at[0, :LrP].set(pos_s))
+        # --- query prep ---------------------------------------------------
+        qsel = jax.lax.dynamic_slice(
+            Qfull, (lo_row, 0), (B, Qfull.shape[1]))
+        qkm = jax.lax.dynamic_slice(
+            QKMfull, (lo_row, 0), (B, QKMfull.shape[1]))
+        qk = jnp.where(qkm >= 0, qkm, 0)
+        cnt = jnp.where(qkm >= 0, count[qk], 0)
+        lo = jnp.where(cnt > 0, start[qk], 0)
+        overflow = jnp.max(cnt, axis=1) > cnt_cap
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
+        limit = (dsz - msl)[:, None]
+        hit = (cnt > 0) & (idx < limit)
+        nh_src = jnp.where(hit, idx, dsz[:, None])
+        nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 1), axis=1), 1)
+        mask = idx < dsz[:, None]
+        clo = jnp.where(mask, lo, 0)
+        ccn = jnp.where(mask, cnt, 0)
+        nhm = jnp.where(mask, nh, dsz[:, None])
+        # --- kernel -------------------------------------------------------
+        ev, nev = pl.pallas_call(
+            kern,
+            grid=(B,),
+            out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+            in_specs=[
+                pl.BlockSpec((None, 1, 128), perq, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((None, 1, EvL), perq,
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((None, 1, 1), perq,
+                                    memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
+          clo[:, None, :], ccn[:, None, :], nhm[:, None, :], win)
+        return ev[:, 0, :ev_cap * 8], nev[:, 0, 0], overflow
+
+    return step
+
+
 class PallasAll2All:
     """v2 all-vs-all driver: single query upload, on-device prep, one
     kernel dispatch per reference."""
@@ -929,56 +1015,47 @@ class PallasAll2All:
         n = len(codes)
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         self.LqP = _bucket(int(self.dszs.max()) + 1024)
-        qb = np.full((n, self.LqP), SYM_N_SEQ, np.int32)
+        self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
+        n_pad = -(-n // self.B) * self.B
+        qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.int32)
         for i, c in enumerate(codes):
             qb[i, :self.dszs[i]] = query_buffer_np(c, cfg.mrd)
+        self.n_pad = n_pad
         with jax.enable_x64(False):
             self.Q = jax.device_put(qb)
             self.QKM = jax.jit(partial(dev_kmer_stream, k=cfg.mal))(self.Q)
 
-    def run_ref(self, r: int, batch: list[int]):
-        """Parse queries `batch` against reference r; returns event logs
-        (None entries = native fallback)."""
+    EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
+
+    def run_range(self, r: int, lo: int):
+        """Parse queries [lo, lo+B) against reference r in one fused
+        dispatch. Returns B event logs (None = native fallback; padding
+        rows and q == r are the caller's concern)."""
         cfg = self.cfg
         p = self.params
-        idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret)
-        true_B = len(batch)
-        B = 8
-        while B < true_B:
-            B *= 2
-        batch = list(batch) + [batch[0]] * (B - true_B)
+        idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret,
+                             host_join=False)
+        B = self.B
         with jax.enable_x64(False):
-            build = _dev_build_join(idx.LrP, cfg.mal)
-            start, count, pos_s = build(idx.refbuf)
-            # poslist for the kernel: pad the device pos list to KaP
-            KaP = idx.KaP
-            poslist = jnp.zeros((1, KaP), jnp.int32)
-            poslist = jax.lax.dynamic_update_slice(
-                poslist, pos_s[:, :min(KaP, pos_s.shape[1])], (0, 0))
-            prep = _dev_prep_queries(B, self.LqP, cfg.mal, cfg.msl,
-                                     self.CNT_CAP)
-            sel = jnp.asarray(np.array(batch, np.int32))
-            qkm = self.QKM[sel]
-            dsz = jnp.asarray(self.dszs[np.array(batch)])
-            clo, ccn, nh, overflow = prep(qkm, start, count, dsz)
-            EvL = PallasRefIndex.MAXEV * 8
-            run = _get_batch_runner(cfg, idx.LrP, self.LqP, KaP, idx.WinP,
-                                    EvL, B, self.interpret)
+            step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
+                                 B, self.CNT_CAP, self.EV_CAP,
+                                 self.interpret)
+            dsz_np = np.array([self.dszs[q] if q < len(self.codes)
+                               else cfg.msl for q in range(lo, lo + B)],
+                              np.int32)
             scal = np.zeros((B, 128), np.int32)
-            scal[:, 0] = self.dszs[np.array(batch)]
+            scal[:, 0] = dsz_np
             scal[:, 1] = idx.nr
-            ev, nev = run(scal[:, None, :], idx.refbuf,
-                          self.Q[sel][:, None, :], poslist,
-                          clo[:, None, :], ccn[:, None, :], nh[:, None, :],
-                          idx.win_flat)
-            ovf = np.asarray(overflow)
-            nev_h = np.asarray(nev)[:, 0, 0]
-            ev_h = np.asarray(ev)[:, 0, :]
+            ev, nev, overflow = step(idx.refbuf, self.Q, self.QKM,
+                                     jnp.int32(lo), jnp.asarray(dsz_np),
+                                     scal, idx.win_flat)
+            ev_h, nev_h, ovf = jax.device_get((ev, nev, overflow))
         out = []
-        for b in range(true_B):
+        for b in range(B):
             n_ev = int(nev_h[b])
-            if ovf[b] or n_ev < 0:
+            if ovf[b] or n_ev < 0 or n_ev > self.EV_CAP:
                 out.append(None)
             else:
                 out.append(ev_h[b, :n_ev * 8].reshape(n_ev, 8))
         return out
+
