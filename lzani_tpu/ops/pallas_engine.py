@@ -100,7 +100,8 @@ def _dshift(M, step):
     M2 = pltpu.roll(pltpu.roll(M, R - step, 0), C - step, 1)
     ri = jax.lax.broadcasted_iota(I32, (R, C), 0)
     ci = jax.lax.broadcasted_iota(I32, (R, C), 1)
-    return jnp.where((ri < R - step) & (ci < C - step), M2, 0)
+    zero = jnp.zeros((), M.dtype)
+    return jnp.where((ri < R - step) & (ci < C - step), M2, zero)
 
 
 def _lshift(v, step, fill):
@@ -112,7 +113,8 @@ def _lshift(v, step, fill):
 
 def diag_lce(E, cap):
     """S[a,b] = min(cap, run of 1s along the diagonal from (a,b)).
-    E: (A, B) int32 0/1. Returns int32 (A, B). cap must be a power of two."""
+    E: (A, B) int32 0/1 (narrow ints would halve the VPU work but Mosaic
+    rotates are 32-bit only). Returns int32 (A, B); cap = power of two."""
     S = E
     A = E
     step = 1
@@ -826,30 +828,44 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                     rec.tofile(rf)
 
     eng = PallasAll2All(codes, params, interpret=interpret)
+    # enumerate work units (ref, range) and their wanted query slots
+    units = []
+    for r in range(n):
+        if filter_csr is None:
+            wanted = {q: None for q in range(n) if q != r}
+        else:
+            wanted = {int(q): int(indptr[r]) + k
+                      for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
+        for lo in range(0, eng.n_pad, eng.B):
+            sub = {q: w for q, w in wanted.items() if lo <= q < lo + eng.B}
+            if sub:
+                units.append((r, lo, sub))
+
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
         pending = []
-        for r in range(n):
-            if filter_csr is None:
-                wanted = {q: None for q in range(n) if q != r}
-            else:
-                wanted = {int(q): int(indptr[r]) + k
-                          for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
-            if not wanted:
-                continue
-            for lo in range(0, eng.n_pad, eng.B):
-                if not any(lo <= q < lo + eng.B for q in wanted):
-                    continue
-                evs = eng.run_range(r, lo)
-                for b in range(eng.B):
-                    q = lo + b
-                    if q not in wanted:
-                        continue
-                    slot = ((r, q - 1 if q > r else q)
-                            if filter_csr is None else wanted[q])
-                    pending.append(pool.submit(finalize, r, q, evs[b],
-                                               slot))
+        inflight = []  # depth-2 dispatch pipeline hides downloads
+        done_refs = 0
+
+        def drain(u, handles):
+            nonlocal done_refs
+            r, lo, sub = u
+            evs = eng.collect(handles)
+            for q, w in sub.items():
+                slot = ((r, q - 1 if q > r else q)
+                        if filter_csr is None else w)
+                pending.append(pool.submit(finalize, r, q, evs[q - lo],
+                                           slot))
+            done_refs += 1
             if progress is not None:
-                progress(r + 1, n)
+                progress(done_refs, len(units))
+
+        for u in units:
+            handles = eng.dispatch_range(u[0], u[1])
+            inflight.append((u, handles))
+            if len(inflight) > 1:
+                drain(*inflight.pop(0))
+        while inflight:
+            drain(*inflight.pop(0))
         for f in pending:
             f.result()
     if rf is not None:
@@ -995,7 +1011,7 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
             interpret=interpret,
         )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
           clo[:, None, :], ccn[:, None, :], nhm[:, None, :], win)
-        return ev[:, 0, :ev_cap * 8], nev[:, 0, 0], overflow
+        return ev[:, 0, :], nev[:, 0, 0], overflow
 
     return step
 
@@ -1027,10 +1043,9 @@ class PallasAll2All:
 
     EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
 
-    def run_range(self, r: int, lo: int):
-        """Parse queries [lo, lo+B) against reference r in one fused
-        dispatch. Returns B event logs (None = native fallback; padding
-        rows and q == r are the caller's concern)."""
+    def dispatch_range(self, r: int, lo: int):
+        """Submit one fused dispatch (join + prep + kernel) for queries
+        [lo, lo+B) against reference r; returns device futures."""
         cfg = self.cfg
         p = self.params
         idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret,
@@ -1049,13 +1064,24 @@ class PallasAll2All:
             ev, nev, overflow = step(idx.refbuf, self.Q, self.QKM,
                                      jnp.int32(lo), jnp.asarray(dsz_np),
                                      scal, idx.win_flat)
-            ev_h, nev_h, ovf = jax.device_get((ev, nev, overflow))
+        return ev, nev, overflow
+
+    def collect(self, handles):
+        """Download results of a dispatch_range call -> event-log list."""
+        ev, nev, overflow = handles
+        with jax.enable_x64(False):
+            nev_h, ovf = jax.device_get((nev, overflow))
+            mx = _pad128(max(int(nev_h.max(initial=0)), 16) * 8)
+            ev_h = np.asarray(ev[:, :mx])
         out = []
-        for b in range(B):
+        for b in range(self.B):
             n_ev = int(nev_h[b])
             if ovf[b] or n_ev < 0 or n_ev > self.EV_CAP:
                 out.append(None)
             else:
                 out.append(ev_h[b, :n_ev * 8].reshape(n_ev, 8))
         return out
+
+    def run_range(self, r: int, lo: int):
+        return self.collect(self.dispatch_range(r, lo))
 
