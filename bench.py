@@ -85,15 +85,20 @@ def main() -> int:
             if jax.default_backend() != "cpu":
                 from lzani_tpu.ops.pallas_engine import all2all_pallas
 
-                sub = codes[:12]  # one shape bucket
+                if os.environ.get("BENCH_PALLAS_FULL"):
+                    sub = codes          # full set (more Mosaic compiles)
+                else:
+                    sub = codes[:12]     # one shape bucket
                 sub_pairs = len(sub) * (len(sub) - 1)
                 all2all_pallas(sub, p)  # warm/compile
                 t0 = time.perf_counter()
                 dev_out = all2all_pallas(sub, p)
                 dev_dt = time.perf_counter() - t0
                 exact = np.array_equal(
-                    dev_out, ref_out[:len(sub), :len(sub) - 1])
+                    dev_out, ref_out[:len(sub), :len(sub) - 1]
+                    if len(sub) < n else ref_out)
                 result["pallas_pairs_per_s"] = round(sub_pairs / dev_dt, 1)
+                result["pallas_n_genomes"] = len(sub)
                 result["pallas_exact"] = bool(exact)
                 result["pallas_backend"] = jax.default_backend()
         except Exception as e:  # report, never fail the bench
