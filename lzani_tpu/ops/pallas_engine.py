@@ -898,47 +898,6 @@ def dev_kmer_stream(buf, k, n_sym=4):
     return jnp.where(ok, val, -1)
 
 
-@lru_cache(maxsize=16)
-def _dev_build_join(LrP: int, mal: int):
-    nk = 1 << (2 * mal)
-
-    @jax.jit
-    def build(refbuf):                       # (1, LrP) int32
-        km = dev_kmer_stream(refbuf, mal)[0]  # (LrP,)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
-        valid = km >= 0
-        keys = jnp.where(valid, km, nk)
-        # stable two-key sort (key, pos): lax.sort is stable
-        keys_s, pos_s = jax.lax.sort((keys, pos), num_keys=1)
-        count = jnp.zeros(nk + 1, jnp.int32).at[keys].add(1)
-        count = count[:nk]
-        start = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
-        return start, count, pos_s.reshape(1, LrP)
-
-    return build
-
-
-@lru_cache(maxsize=16)
-def _dev_prep_queries(B: int, LqP: int, mal: int, msl: int, cnt_cap: int):
-    @jax.jit
-    def prep(qkm, start, count, dsz):        # qkm (B, LqP), dsz (B,)
-        keys = jnp.where(qkm >= 0, qkm, 0)
-        cnt = jnp.where(qkm >= 0, count[keys], 0)
-        lo = jnp.where(cnt > 0, start[keys], 0)
-        overflow = jnp.max(cnt, axis=1) > cnt_cap
-        idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
-        limit = (dsz - msl)[:, None]
-        hit = (cnt > 0) & (idx < limit)
-        nh_src = jnp.where(hit, idx, dsz[:, None])
-        nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 1), axis=1), 1)
-        mask = idx < dsz[:, None]
-        return (jnp.where(mask, lo, 0), jnp.where(mask, cnt, 0),
-                jnp.where(mask, nh, dsz[:, None]), overflow)
-
-    return prep
-
-
 @lru_cache(maxsize=32)
 def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                   B: int, cnt_cap: int, ev_cap: int, interpret: bool):
