@@ -129,6 +129,15 @@ class Matcher:
             triples = all2all_pallas(self.store.codes, p, filter_csr=csr,
                                      region_path=region_path)
         elif backend == "jax":
+            import jax as _jax
+            if _jax.default_backend() not in ("cpu",):
+                max_len = max((len(c) for c in self.store.codes), default=0)
+                if max_len > 8192:
+                    raise RuntimeError(
+                        "--backend jax (reference automaton) is a "
+                        "CPU/semantic-validation path; sequences this large "
+                        "exceed the accelerator's per-program budget. "
+                        "Use --backend pallas.")
             from .ops.engine_jax import all2all_jax
             triples = all2all_jax(self.store.codes, p, filter_csr=csr)
             if region_path:

@@ -75,3 +75,21 @@ def test_all2all_pallas_interpret_with_devices():
                             interpret=True)
     want = ne.all2all(codes, p)
     assert np.array_equal(out, want)
+
+
+def test_kernel_nondefault_params():
+    p = Params()
+    p.min_anchor_len = 9
+    p.min_seed_len = 5
+    p.max_dist_in_ref = 24
+    p.max_dist_in_query = 30
+    p.min_region_len = 20
+    p.approx_window = 11
+    p.approx_mismatches = 5
+    p.approx_run_len = 2
+    rng = np.random.RandomState(13)
+    ref = rng.randint(0, 4, 700).astype(np.uint8)
+    q = ref.copy()
+    m = rng.rand(700) < 0.08
+    q[m] = (q[m] + rng.randint(1, 4, m.sum())) % 4
+    _check(ref, q[:650], p)
