@@ -238,24 +238,36 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             cs_shift = _lshift(cs, aw, 0)
             win_local = cs - cs_shift
             # carry contribution: tail[k] is in window(e=base+el) iff
-            # el <= k, so carry_bad(el) = suffix_sum(tail)[el]
-            sufs = reverse_lanes(lane_cumsum(reverse_lanes(tail)))
+            # el <= k, so carry_bad(el) = suffix_sum(tail)[el]; the tail is
+            # zero beyond lane aw-2 < 16, so 4 shifted-add rounds suffice
+            # (cheaper than lane reversal, which costs MXU contractions)
+            sufs = tail
+            for stp in (1, 2, 4, 8):
+                sufs = sufs + jnp.where(io < CE - stp,
+                                        pltpu.roll(sufs, CE - stp, 1), 0)
             carry_bad = jnp.where(io <= aw - 2, sufs, 0)
             bad = win_local + carry_bad
 
             stop = valid & (bad > am)
-            stop_e = jnp.min(jnp.where(stop, io, BIG))
+            # "before the first stop" as a prefix scan (no scalar sync)
+            no_stop_yet = lane_cummax(jnp.where(stop, 1, 0)) == 0
 
             # run(e) = consecutive matches ending at e; carry run0
             lm = lane_cummax(jnp.where(m_eff > 0, io, -BIG))
             lm = jnp.maximum(lm, -(run0 + 1))
             run = io - lm
-            ok = valid & (m_eff == 0) & (run >= ar) & (io < stop_e)
+            ok = valid & (m_eff == 0) & (run >= ar) & no_stop_yet
             cand = jnp.max(jnp.where(ok, base + io + 1, 0))
             last = jnp.maximum(last, cand)
 
-            done = (stop_e != BIG) | (nv < CE)
-            run_end = jnp.max(jnp.where(io == CE - 1, run, 0))
+            # one packed reduce: stop flag (bit 9) + edge run (clamped at
+            # ar — only its >= ar-ness ever matters to the next chunk)
+            r2 = jnp.max(jnp.where(stop, 512, 0)
+                         + jnp.where(io == CE - 1,
+                                     jnp.minimum(run, ar), 0))
+            stopped = r2 >= 512
+            done = stopped | (nv < CE)
+            run_end = r2 & 511
             # new tail: miss at e = base+CE-(aw-1)+k  -> lane CE-(aw-1)+k
             ntail = pltpu.roll(m_eff, aw - 1, 1)
             ntail = jnp.where(io <= aw - 2, ntail, 0)
