@@ -93,3 +93,29 @@ def test_kernel_nondefault_params():
     m = rng.rand(700) < 0.08
     q[m] = (q[m] + rng.randint(1, 4, m.sum())) % 4
     _check(ref, q[:650], p)
+
+
+def test_all2all_pallas_filter_path():
+    """Sparse kmer-db filter CSR through the device driver (interpret)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 4, 350).astype(np.uint8)
+    codes = []
+    for i in range(5):
+        s = base.copy()
+        s[:: (i + 4)] = (s[:: (i + 4)] + 1) % 4
+        codes.append(s[: 350 - 13 * i])
+    # sparse pair list: rows 0..4 with assorted partners
+    rows = [[1, 3], [0], [4], [0, 2], [2]]
+    indptr = np.zeros(6, np.int64)
+    ids = []
+    for r, qs in enumerate(rows):
+        ids.extend(qs)
+        indptr[r + 1] = len(ids)
+    ids = np.array(ids, np.int32)
+    out = pe.all2all_pallas(codes, p, filter_csr=(indptr, ids),
+                            interpret=True)
+    want = ne.all2all(codes, p, filter_csr=(indptr, ids))
+    assert np.array_equal(out, want)
