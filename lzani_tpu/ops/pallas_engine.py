@@ -776,7 +776,7 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # ---------------------------------------------------------------------------
 
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
-                   batch_size: int = 64, replay_threads: int = 0,
+                   replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
                    interpret: bool = False):
     """All-vs-all triples via the device kernel; layout matches
@@ -994,6 +994,8 @@ class PallasAll2All:
     CNT_CAP = 112
 
     def __init__(self, codes, params, devices=None, interpret=False):
+        # devices: reserved for per-ref round-robin across a mesh (the
+        # work units are independent; wire-up lands with multi-chip runs)
         self.codes = codes
         self.params = params
         self.interpret = interpret
