@@ -341,7 +341,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             bwd/ext, logs the event. Mirrors parser.cpp:626-697 via the
             scalar-tracking argument (ops/DESIGN.md)."""
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend) = state
+             ne, pend, n_ss, n_ds) = state
             lit_ev = lit_run + (i_ev - i)
             pred_ev = pred + (i_ev - i)
 
@@ -383,19 +383,20 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             i3 = i2 + ext
             pred3 = pred2 + ext
             return (i3, pred3, jnp.int32(0), reg_lo2, i3, top_lit2,
-                    lit_below2, ne2, pend2)
+                    lit_below2, ne2, pend2, n_ss, n_ds)
 
         # ---------------- desync step --------------------------------------
         def desync_step(state):
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend) = state
+             ne, pend, n_ss, n_ds) = state
+            n_ds = n_ds + 1
             j = vext(next_hit, i)
 
             def to_end(_):
                 # no more anchors: run out the loop as literals
                 delta = (dsz - msl) - i
                 return (i + delta, pred + delta, lit_run + delta, reg_lo,
-                        reg_hi, top_lit, lit_below, ne, pend)
+                        reg_hi, top_lit, lit_below, ne, pend, n_ss, n_ds)
 
             def at_candidate(_):
                 # NOTE: unlike the synced branch, the desynced search has
@@ -403,7 +404,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 # position 0 is a real match (parser.cpp:507-531 vs :604)
                 a_len, a_pos = resolve_anchor(j)
                 st2 = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
-                       lit_below, ne, pend)
+                       lit_below, ne, pend, n_ss, n_ds)
                 return apply_match(st2, j, a_pos, a_len)
 
             return jax.lax.cond(j >= dsz - msl, to_end, at_candidate, None)
@@ -411,7 +412,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # ---------------- synced superstep ---------------------------------
         def sync_step(state):
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend) = state
+             ne, pend, n_ss, n_ds) = state
+            n_ss = n_ss + 1
             D_dyn = mqd - lit_run + 1
             D_eff = jnp.minimum(D_dyn, (dsz - msl) - i)
             lo0 = pred - lit_run
@@ -446,7 +448,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 desync = new_lr > mqd
                 return (i + adv, jnp.where(desync, -dsz, pred + adv),
                         new_lr, reg_lo, reg_hi, top_lit, lit_below, ne,
-                        pend)
+                        pend, n_ss, n_ds)
 
             def with_event(_):
                 # loop over possibly-spurious anchor-only positions
@@ -537,7 +539,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
                             def apply(_):
                                 st2 = (i, pred, lit_run, reg_lo, reg_hi,
-                                       top_lit, lit_below, ne, pend)
+                                       top_lit, lit_below, ne, pend,
+                                       n_ss, n_ds)
                                 return (jnp.int32(BIG), jnp.bool_(True),
                                         apply_match(st2, i + dd, bp, bl))
 
@@ -567,7 +570,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
         init = (jnp.int32(0), -dsz, jnp.int32(0), jnp.int32(-1),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.zeros((1, 128), I32))
+                jnp.zeros((1, 128), I32), jnp.int32(0), jnp.int32(0))
         final = jax.lax.while_loop(
             lambda st: (st[0] + msl < dsz) & (st[7] < MAXEV - 1), step,
             init)
@@ -582,6 +585,12 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # overflow (event buffer full before the parse finished) -> -1;
         # the host falls back to the native engine for that pair
         nev_out[0, 0] = jnp.where(final[0] + msl < dsz, -1, ne)
+        # profiling counters in the (otherwise unused) last tail block:
+        # lane 0 = synced supersteps, lane 1 = desync steps
+        io = lane_iota(128)
+        prof = jnp.where(io == 0, final[9],
+                         jnp.where(io == 1, final[10], 0))
+        ev_out[0:1, EvL - 128:EvL] = prof
 
     return kernel
 
@@ -715,9 +724,10 @@ class PallasRefIndex:
             nev_h = np.asarray(nev)[:, 0, 0]
             ev_h = np.asarray(ev)[:, 0, :]  # (B, EvL)
         out = []
+        cap = self.MAXEV - 16  # last block holds profiling counters
         for b in range(B):
             n = int(nev_h[b])
-            if skip[b] or n < 0:
+            if skip[b] or n < 0 or n > cap:
                 out.append(None)
             else:
                 out.append(ev_h[b, :n * 8].reshape(n, 8))
@@ -841,13 +851,21 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
 
     eng = PallasAll2All(codes, params, interpret=interpret)
     # enumerate work units (ref, range) and their wanted query slots
+    # composite buffer too large for the kernel's VMEM budget -> the whole
+    # reference row runs on the native engine (correctness never at risk)
+    MAX_REF_SYMS = 700_000
+
     units = []
+    native_rows = []
     for r in range(n):
         if filter_csr is None:
             wanted = {q: None for q in range(n) if q != r}
         else:
             wanted = {int(q): int(indptr[r]) + k
                       for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
+        if 2 * len(codes[r]) + 3 * params.max_dist_in_ref > MAX_REF_SYMS:
+            native_rows.append((r, wanted))
+            continue
         for lo in range(0, eng.n_pad, eng.B):
             sub = {q: w for q, w in wanted.items() if lo <= q < lo + eng.B}
             if sub:
@@ -878,6 +896,11 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 drain(*inflight.pop(0))
         while inflight:
             drain(*inflight.pop(0))
+        for r, wanted in native_rows:
+            for q, w in wanted.items():
+                slot = ((r, q - 1 if q > r else q)
+                        if filter_csr is None else w)
+                pending.append(pool.submit(finalize, r, q, None, slot))
         for f in pending:
             f.result()
     if rf is not None:
