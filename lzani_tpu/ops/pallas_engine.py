@@ -39,9 +39,9 @@ from .prep import SYM_N_REF, SYM_N_SEQ, query_buffer_np, ref_buffer_np
 I32 = jnp.int32
 BIG = (1 << 30)  # python int: avoids captured-constant tracing in pallas
 
-CAP = 64          # band LCE cap (level-1)
+CAP = 32          # band LCE cap (level-1); longer runs escalate to exact
 CAP2 = 512        # escalation strip depth per round
-QROWS = 112       # band matrix rows  (>= D-1 + CAP = 104 at defaults)
+QROWS = 80        # band matrix rows  (>= D-1 + CAP = 72 at defaults)
 RCOLS = 256       # band matrix cols  (>= W-1 + CAP = 206 at defaults)... see check in engine
 CH = 512          # chunk for exact-LCE / extension scans
 EV_STRIDE = 8     # int32 per event record

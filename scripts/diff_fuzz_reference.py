@@ -1,0 +1,137 @@
+"""Differential fuzzing: our CLI (native backend) vs the real reference
+binary (built from /root/reference sources into /tmp/lzani_ref) on random
+genome sets and random parameter vectors. Outputs must be byte-identical
+(alignment files compared as sorted sets — reference row order is
+thread-timing-dependent).
+
+Usage: python scripts/diff_fuzz_reference.py [n_cases] [seed]
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+REF_BIN = "/tmp/lzani_ref"
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+BASES = np.array(list("ACGT"))
+
+
+def write_fasta(path, seqs):
+    with open(path, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">seq{i:03d} synthetic\n")
+            txt = "".join(BASES[np.minimum(s, 3)])
+            # reinsert Ns
+            txt = "".join("N" if c >= 4 else t for c, t in zip(s, txt))
+            for j in range(0, len(txt), 70):
+                fh.write(txt[j:j + 70] + "\n")
+
+
+def gen_case(rng):
+    n = int(rng.randint(4, 9))
+    L = int(rng.randint(300, 3000))
+    base = rng.randint(0, 4, L).astype(np.uint8)
+    seqs = []
+    for i in range(n):
+        s = base.copy()
+        rate = rng.uniform(0.0, 0.45)
+        m = rng.rand(L) < rate
+        s[m] = (s[m] + rng.randint(1, 4, m.sum())) % 4
+        if rng.rand() < 0.3:
+            s[rng.randint(0, L, rng.randint(1, 8))] = 4  # Ns
+        if rng.rand() < 0.4:
+            k = rng.randint(0, L - 50)
+            s = np.delete(s, slice(k, k + rng.randint(1, 40)))
+        if rng.rand() < 0.3:  # unrelated
+            s = rng.randint(0, 4, rng.randint(250, L + 1)).astype(np.uint8)
+        seqs.append(s)
+    mal = int(rng.randint(5, 16))
+    msl = int(rng.randint(3, mal + 1))
+    mrd = int(rng.randint(8, 64))
+    mqd = int(rng.randint(8, 64))
+    reg = int(rng.randint(8, 50))
+    aw = int(rng.randint(4, 24))
+    am = int(rng.randint(1, aw))
+    ar = int(rng.randint(1, 5))
+    flags = ["-a", str(mal), "-s", str(msl), "-r", str(mrd),
+             "-q", str(mqd), "-g", str(reg), "--aw", str(aw),
+             "--am", str(am), "--ar", str(ar)]
+    if rng.rand() < 0.3:
+        flags += ["--out-in-percent", "true"]
+    fmt = rng.choice(["standard", "lite", "complete",
+                      "qidx,ridx,tani,gani,ani,qcov,rcov,nt_match"])
+    flags += ["--out-format", str(fmt)]
+    if rng.rand() < 0.3:
+        col = str(rng.choice(["tani", "gani", "ani", "qcov"]))
+        flags += ["--out-filter", col, f"{rng.uniform(0, 0.4):.3f}"]
+    return seqs, flags
+
+
+def run_case(tc, seqs, flags, workdir):
+    fa = os.path.join(workdir, f"in_{tc}.fna")
+    write_fasta(fa, seqs)
+    ref_out = os.path.join(workdir, f"ref_{tc}.tsv")
+    our_out = os.path.join(workdir, f"our_{tc}.tsv")
+    ref_aln = os.path.join(workdir, f"ref_{tc}.aln")
+    our_aln = os.path.join(workdir, f"our_{tc}.aln")
+
+    r = subprocess.run([REF_BIN, "all2all", "--in-fasta", fa, "--out",
+                        ref_out, "--out-alignment", ref_aln] + flags,
+                       capture_output=True, timeout=300)
+    if r.returncode != 0:
+        return f"reference binary failed: {r.stderr[-200:]}"
+    r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all",
+                        "--in-fasta", fa, "--out", our_out,
+                        "--out-alignment", our_aln] + flags,
+                       capture_output=True, timeout=600, cwd="/root/repo")
+    if r.returncode != 0:
+        return f"our cli failed: {r.stderr[-300:]}"
+
+    a = open(ref_out, "rb").read()
+    b = open(our_out, "rb").read()
+    if a != b:
+        for k, (la, lb) in enumerate(zip(a.splitlines(), b.splitlines())):
+            if la != lb:
+                return (f"TSV diff at line {k}:\n  ref: {la[:140]}\n"
+                        f"  our: {lb[:140]}")
+        return f"TSV length diff ({len(a)} vs {len(b)})"
+    ra = sorted(open(ref_aln).readlines()[1:])
+    rb = sorted(open(our_aln).readlines()[1:])
+    if ra != rb:
+        for la, lb in zip(ra, rb):
+            if la != lb:
+                return f"ALN diff:\n  ref: {la[:140]}\n  our: {lb[:140]}"
+        return "ALN set diff (lengths)"
+    ia = open(ref_out.replace(".tsv", ".ids.tsv"), "rb").read()
+    ib = open(our_out.replace(".tsv", ".ids.tsv"), "rb").read()
+    if ia != ib:
+        return "ids file diff"
+    return None
+
+
+def main():
+    rng = np.random.RandomState(SEED)
+    fails = 0
+    with tempfile.TemporaryDirectory() as wd:
+        for tc in range(N):
+            seqs, flags = gen_case(rng)
+            err = run_case(tc, seqs, flags, wd)
+            if err:
+                fails += 1
+                print(f"case {tc}: FAIL ({' '.join(flags)})\n  {err}",
+                      flush=True)
+            else:
+                print(f"case {tc}: OK ({' '.join(flags[:16])}...)",
+                      flush=True)
+    print("FAILURES:" if fails else "ALL OK:", fails, flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
