@@ -123,3 +123,18 @@ def test_known_truth_tani(tmp_path):
         tani = got.get((a, b)) or got.get((b, a))
         assert tani is not None
         assert abs(tani - t) < 0.01, (a, b, tani, t)
+
+
+@pytest.mark.skipif(not os.path.exists("/tmp/lzani_ref"),
+                    reason="reference binary not built "
+                           "(scripts/build_reference_binary.sh)")
+def test_differential_vs_reference_binary(tmp_path):
+    """Random-parameter differential check against the real reference
+    binary (full sweep: scripts/diff_fuzz_reference.py)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "scripts/diff_fuzz_reference.py", "3", "7"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-200:]
