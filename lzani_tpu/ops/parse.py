@@ -16,7 +16,7 @@ bit-exactly against the native oracle in tests/test_jax_engine.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
