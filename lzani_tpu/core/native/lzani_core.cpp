@@ -123,7 +123,15 @@ static void kmer_stream(std::vector<int64_t>& out, const uint8_t* seq,
 // --------------------------------------------------------------------------
 struct RefIndex {
     Cfg cfg;
-    std::vector<uint8_t> buf;  // fwd | N^mrd | N^mrd | rc | N^mrd  (parser.cpp:16-24)
+    // Semantic composite length (fwd | N^mrd | N^mrd | rc | N^mrd). The
+    // vector additionally carries a deterministic N_REF guard band: the
+    // reference's tail emission (parser.cpp:713) and gap alignment can
+    // read past the composite end (verified UB in the original binary —
+    // its output depends on heap garbage there). N codes never match
+    // query symbols, which makes this engine deterministic and aligned
+    // with the device engines' padded buffers.
+    int64_t n_sem = 0;
+    std::vector<uint8_t> buf;
     std::vector<int64_t> anchors;   // mal-mer stream over buf
     std::vector<int64_t> seeds;     // msl-mer stream over buf
     std::vector<int32_t> ahash;     // open addressing, linear probe, -1 empty
@@ -150,10 +158,13 @@ struct RefIndex {
             buf.push_back(s < SYM_N_REF ? (uint8_t)(3 - s) : SYM_N_REF);
         }
         buf.insert(buf.end(), (size_t)mrd, SYM_N_REF);
+        n_sem = (int64_t)buf.size();
+        // guard band for the reference's beyond-the-end reads
+        buf.insert(buf.end(), (size_t)(c.mqd + c.msl + 64), SYM_N_REF);
 
         if (!tables) return;  // buffers-only mode (pseudo-factor expansion)
-        kmer_stream(anchors, buf.data(), (int64_t)buf.size(), c.mal);
-        kmer_stream(seeds, buf.data(), (int64_t)buf.size(), c.msl);
+        kmer_stream(anchors, buf.data(), n_sem, c.mal);
+        kmer_stream(seeds, buf.data(), n_sem, c.msl);
         build_anchor_table();
         build_seed_buckets();
     }
@@ -281,7 +292,7 @@ struct Parser {
     // Longest common extension between reference and query starting at the
     // given positions (parser.cpp:192-207).
     int match_len(int rpos, int dpos, int from = 0) const {
-        int cap = (int)std::min((int64_t)ri->buf.size() - rpos,
+        int cap = (int)std::min(ri->n_sem - rpos,
                                 (int64_t)qbuf.size() - dpos);
         const uint8_t* a = ri->buf.data() + rpos;
         const uint8_t* b = qbuf.data() + dpos;
@@ -499,7 +510,7 @@ struct Parser {
     // within the last `aw` symbols stays <= `am`; the result is the largest
     // prefix ending with a run of >= `ar` matches (parser.cpp:377-441).
     int extend_fwd(int dpos, int rpos) {
-        int dn = (int)qbuf.size(), rn = (int)ri->buf.size();
+        int dn = (int)qbuf.size(), rn = (int)ri->n_sem;
         win.assign((size_t)cfg.aw, 0);
         int bad = 0, run = cfg.ar, last = 0;
         for (int e = 0; dpos + e < dn && rpos + e < rn; ++e) {
@@ -606,7 +617,7 @@ struct Parser {
                         // keep the candidate less likely to match by chance
                         // (parser.cpp:612-622)
                         double pa = fpow(1.0 - prob_len(a_len),
-                                         (uint32_t)(int)(2 * (ri->buf.size() + 1 - a_len)));
+                                         (uint32_t)(int)(2 * (ri->n_sem + 1 - a_len)));
                         double pc = fpow(1.0 - prob_len(best_len),
                                          (uint32_t)(lit_run + cfg.mrd + 1 - best_len));
                         if (pa > pc) {

@@ -77,7 +77,10 @@ class ShardedRefIndex:
         self.cfg = ParseCfg.from_params(params)
         mrd = params.max_dist_in_ref
         true_len = 2 * len(codes) + 3 * mrd
-        self.Lr = bucket_len(true_len)
+        # guard band: the parse may read a few symbols past the semantic
+        # end (reference tail-emission semantics); keep N padding there
+        self.Lr = bucket_len(true_len + params.max_dist_in_query
+                             + params.min_seed_len + 64)
         self.table_size = table_size_for(self.Lr)
         buf = prep.ref_buffer_np(codes, mrd, pad_to=self.Lr)
         repl = NamedSharding(mesh, P())

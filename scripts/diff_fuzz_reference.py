@@ -81,11 +81,21 @@ def run_case(tc, seqs, flags, workdir):
     ref_aln = os.path.join(workdir, f"ref_{tc}.aln")
     our_aln = os.path.join(workdir, f"our_{tc}.aln")
 
-    r = subprocess.run([REF_BIN, "all2all", "--in-fasta", fa, "--out",
-                        ref_out, "--out-alignment", ref_aln] + flags,
-                       capture_output=True, timeout=300)
-    if r.returncode != 0:
-        return f"reference binary failed: {r.stderr[-200:]}"
+    # The reference binary reads past its composite buffer on some inputs
+    # (verified UB: output varies with MALLOC_PERTURB_). Detect and skip
+    # such cases — byte-equivalence is ill-defined there. This engine pads
+    # the buffer with N codes instead (deterministic, canonical).
+    outs = []
+    for perturb in ("37", "111", "203"):
+        env = dict(os.environ, MALLOC_PERTURB_=perturb)
+        r = subprocess.run([REF_BIN, "all2all", "--in-fasta", fa, "--out",
+                            ref_out, "--out-alignment", ref_aln] + flags,
+                           capture_output=True, timeout=300, env=env)
+        if r.returncode != 0:
+            return f"reference binary failed: {r.stderr[-200:]}"
+        outs.append(open(ref_out, "rb").read())
+    if len(set(outs)) > 1:
+        return "SKIP"
     r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all",
                         "--in-fasta", fa, "--out", our_out,
                         "--out-alignment", our_aln] + flags,
@@ -122,6 +132,10 @@ def main():
         for tc in range(N):
             seqs, flags = gen_case(rng)
             err = run_case(tc, seqs, flags, wd)
+            if err == "SKIP":
+                print(f"case {tc}: SKIP (reference output is heap-"
+                      f"dependent / UB-sensitive)", flush=True)
+                continue
             if err:
                 fails += 1
                 print(f"case {tc}: FAIL ({' '.join(flags)})\n  {err}",
