@@ -73,9 +73,28 @@ def gen_case(rng):
     return seqs, flags
 
 
-def run_case(tc, seqs, flags, workdir):
+def write_filter(path, n, rng):
+    """Synthesize a kmer-db-style sparse filter (lower-triangle rows with
+    1-based ids; the loader symmetrizes)."""
+    names = [f"seq{i:03d}" for i in range(n)]
+    with open(path, "w") as fh:
+        fh.write("kmer-length: 18 fraction: 1 ," + ",".join(names) + ",\n")
+        for i in range(n):
+            toks = [names[i]]
+            for j in range(i):
+                if rng.rand() < 0.6:
+                    toks.append(f"{j + 1}:{rng.uniform(0.05, 1):.6f}")
+            fh.write(",".join(toks) + ",\n")
+
+
+def run_case(tc, seqs, flags, workdir, rng=None):
     fa = os.path.join(workdir, f"in_{tc}.fna")
     write_fasta(fa, seqs)
+    if rng is not None and rng.rand() < 0.4:
+        flt = os.path.join(workdir, f"flt_{tc}.csv")
+        write_filter(flt, len(seqs), rng)
+        flags = flags + ["--flt-kmerdb", flt,
+                         f"{rng.uniform(0.0, 0.5):.3f}"]
     ref_out = os.path.join(workdir, f"ref_{tc}.tsv")
     our_out = os.path.join(workdir, f"our_{tc}.tsv")
     ref_aln = os.path.join(workdir, f"ref_{tc}.aln")
@@ -131,7 +150,7 @@ def main():
     with tempfile.TemporaryDirectory() as wd:
         for tc in range(N):
             seqs, flags = gen_case(rng)
-            err = run_case(tc, seqs, flags, wd)
+            err = run_case(tc, seqs, flags, wd, rng)
             if err == "SKIP":
                 print(f"case {tc}: SKIP (reference output is heap-"
                       f"dependent / UB-sensitive)", flush=True)
