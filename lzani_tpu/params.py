@@ -83,7 +83,10 @@ class Params:
         for c in comps:
             if c not in OUTPUT_COMPONENTS:
                 raise ParamError(f"Unknown output-format component: {c}")
-        self.output_format = of
+        # reference quirk: CParams::parse_output_format never writes the
+        # output_format STRING member (params.h:169-198), so the single-txt
+        # params dump always shows the default. Keep components updated but
+        # leave the dump string untouched for byte parity.
         self.output_components = comps
 
     def set_output_filter(self, name: str, value: str | float) -> None:

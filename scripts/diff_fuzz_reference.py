@@ -87,10 +87,37 @@ def write_filter(path, n, rng):
             fh.write(",".join(toks) + ",\n")
 
 
+def write_dir(dirpath, seqs, rng):
+    """Per-file mode: a directory of FASTA files, some multi-contig."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, s in enumerate(seqs):
+        with open(os.path.join(dirpath, f"g{i:03d}.fna"), "w") as fh:
+            if rng.rand() < 0.5 and len(s) > 200:
+                cut = int(rng.randint(50, len(s) - 50))
+                parts = [s[:cut], s[cut:]]
+            else:
+                parts = [s]
+            for k, part in enumerate(parts):
+                fh.write(f">g{i:03d}_c{k} x\n")
+                txt = "".join("N" if c >= 4 else "ACGT"[c] for c in part)
+                for j in range(0, len(txt), 70):
+                    fh.write(txt[j:j + 70] + "\n")
+
+
 def run_case(tc, seqs, flags, workdir, rng=None):
     fa = os.path.join(workdir, f"in_{tc}.fna")
     write_fasta(fa, seqs)
-    if rng is not None and rng.rand() < 0.4:
+    in_flags = ["--in-fasta", fa]
+    if rng is not None and rng.rand() < 0.3:
+        d = os.path.join(workdir, f"dir_{tc}")
+        write_dir(d, seqs, rng)
+        in_flags = ["--in-dir", d, "--multisample-fasta",
+                    str(rng.choice(["true", "false"]))]
+    if rng is not None and rng.rand() < 0.15:
+        flags = flags + ["--out-type", "single-txt"]
+    if (rng is not None and rng.rand() < 0.4
+            and in_flags[0] == "--in-fasta"):
+        # filter names must match reservoir names (seqNNN = multifasta)
         flt = os.path.join(workdir, f"flt_{tc}.csv")
         write_filter(flt, len(seqs), rng)
         flags = flags + ["--flt-kmerdb", flt,
@@ -107,7 +134,7 @@ def run_case(tc, seqs, flags, workdir, rng=None):
     outs = []
     for perturb in ("37", "111", "203"):
         env = dict(os.environ, MALLOC_PERTURB_=perturb)
-        r = subprocess.run([REF_BIN, "all2all", "--in-fasta", fa, "--out",
+        r = subprocess.run([REF_BIN, "all2all"] + in_flags + ["--out",
                             ref_out, "--out-alignment", ref_aln] + flags,
                            capture_output=True, timeout=300, env=env)
         if r.returncode != 0:
@@ -115,15 +142,18 @@ def run_case(tc, seqs, flags, workdir, rng=None):
         outs.append(open(ref_out, "rb").read())
     if len(set(outs)) > 1:
         return "SKIP"
-    r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all",
-                        "--in-fasta", fa, "--out", our_out,
-                        "--out-alignment", our_aln] + flags,
+    r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all"]
+                       + in_flags + ["--out", our_out,
+                                     "--out-alignment", our_aln] + flags,
                        capture_output=True, timeout=600, cwd="/root/repo")
     if r.returncode != 0:
         return f"our cli failed: {r.stderr[-300:]}"
 
     a = open(ref_out, "rb").read()
     b = open(our_out, "rb").read()
+    # single-txt embeds the output path in its params dump; normalize it
+    a = a.replace(ref_out.encode(), b"OUT")
+    b = b.replace(our_out.encode(), b"OUT")
     if a != b:
         for k, (la, lb) in enumerate(zip(a.splitlines(), b.splitlines())):
             if la != lb:
@@ -137,10 +167,13 @@ def run_case(tc, seqs, flags, workdir, rng=None):
             if la != lb:
                 return f"ALN diff:\n  ref: {la[:140]}\n  our: {lb[:140]}"
         return "ALN set diff (lengths)"
-    ia = open(ref_out.replace(".tsv", ".ids.tsv"), "rb").read()
-    ib = open(our_out.replace(".tsv", ".ids.tsv"), "rb").read()
-    if ia != ib:
-        return "ids file diff"
+    ref_ids = ref_out.replace(".tsv", ".ids.tsv")
+    our_ids = our_out.replace(".tsv", ".ids.tsv")
+    if os.path.exists(ref_ids) != os.path.exists(our_ids):
+        return "ids file presence diff"
+    if os.path.exists(ref_ids):
+        if open(ref_ids, "rb").read() != open(our_ids, "rb").read():
+            return "ids file diff"
     return None
 
 
