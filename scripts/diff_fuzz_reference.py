@@ -154,6 +154,23 @@ def run_case(tc, seqs, flags, workdir, rng=None):
     # single-txt embeds the output path in its params dump; normalize it
     a = a.replace(ref_out.encode(), b"OUT")
     b = b.replace(our_out.encode(), b"OUT")
+
+    def _norm_inputs(x):
+        # --in-dir file listing order: the reference uses raw
+        # directory_iterator order (fs-dependent); we sort. Results are
+        # unaffected (the reservoir reorders by length/name) — normalize
+        # the dump line.
+        out = []
+        for ln in x.split(b"\n"):
+            if ln.startswith(b"input_file_names"):
+                key, _, val = ln.partition(b":")
+                items = sorted(v.strip() for v in val.split(b",") if v.strip())
+                ln = key + b": " + b", ".join(items)
+            out.append(ln)
+        return b"\n".join(out)
+
+    a = _norm_inputs(a)
+    b = _norm_inputs(b)
     if a != b:
         for k, (la, lb) in enumerate(zip(a.splitlines(), b.splitlines())):
             if la != lb:
