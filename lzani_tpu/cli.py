@@ -63,10 +63,6 @@ def parse_args(argv: list[str]) -> Params | None:
     p = Params()
     i = 1
 
-    def need(k: int) -> None:
-        if i + k >= len(argv) + 0:
-            pass
-
     while i < len(argv):
         a = argv[i]
         try:

@@ -24,11 +24,15 @@
 
 #include <algorithm>
 #include <atomic>
+#include <charconv>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -1062,6 +1066,449 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
     }
     if (rf) std::fclose(rf);
     return 0;
+}
+
+// ----------------------------------------------------------------------------
+// Parallel ordered TSV formatter — the native analog of the reference's
+// multi-threaded store_results + parallel_priority_queue
+// (lz_matcher.cpp:371-567, parallel-queues.h:204-335). Workers format whole
+// reference-row chunks; a writer thread streams them in ref-id order through
+// a buffered FILE*, so the full table is never held in memory.
+// ----------------------------------------------------------------------------
+
+namespace lzfmt {
+
+static const uint64_t P10[20] = {
+    1ull, 10ull, 100ull, 1000ull, 10000ull, 100000ull, 1000000ull,
+    10000000ull, 100000000ull, 1000000000ull, 10000000000ull,
+    100000000000ull, 1000000000000ull, 10000000000000ull,
+    100000000000000ull, 1000000000000000ull, 10000000000000000ull,
+    100000000000000000ull, 1000000000000000000ull,
+    10000000000000000000ull};
+
+// Exact equivalent of utils/textnum.py::format_real (which itself matches
+// refresh::real_to_pchar, numeric_conversions.h:229-300,341-388):
+// shortest round-trip decimal (std::to_chars, same digits as dragonbox),
+// rounded half-up to `prec` significant digits, plain/scientific layout.
+static int fmt_real(double val, int prec, char* out) {
+    if (val == 0.0) { out[0] = '0'; return 1; }
+    if (std::isnan(val)) { std::memcpy(out, "nan", 3); return 3; }
+    if (std::isinf(val)) {
+        if (val < 0) { std::memcpy(out, "-inf", 4); return 4; }
+        std::memcpy(out, "inf", 3); return 3;
+    }
+    if (prec < 1) prec = 1;
+    if (prec > 15) prec = 15;
+    bool neg = val < 0;
+    double a = neg ? -val : val;
+    char buf[40];
+    auto res = std::to_chars(buf, buf + sizeof(buf), a);
+    int n = (int)(res.ptr - buf);
+    uint64_t sig = 0;
+    int frac_len = 0, eval = 0, esign = 1;
+    bool in_frac = false, in_exp = false;
+    for (int k = 0; k < n; ++k) {
+        char c = buf[k];
+        if (c == '.') in_frac = true;
+        else if (c == 'e' || c == 'E') in_exp = true;
+        else if (in_exp) {
+            if (c == '-') esign = -1;
+            else if (c != '+') eval = eval * 10 + (c - '0');
+        } else {
+            sig = sig * 10 + (uint64_t)(c - '0');
+            if (in_frac) frac_len++;
+        }
+    }
+    int exp10 = esign * eval - frac_len;
+    while (sig && sig % 10 == 0) { sig /= 10; exp10++; }
+    int n_dig = 1;
+    for (uint64_t t = sig; t >= 10; t /= 10) n_dig++;
+    if (n_dig > prec) {
+        int drop = n_dig - prec;
+        sig = (sig + P10[drop] / 2) / P10[drop];
+        exp10 += drop;
+        n_dig = prec;
+        if (sig >= P10[prec]) { sig /= 10; exp10++; }
+    }
+    char dig[24];
+    {
+        char tmp[24];
+        int m = 0;
+        uint64_t t = sig;
+        do { tmp[m++] = (char)('0' + t % 10); t /= 10; } while (t);
+        for (int k = 0; k < m; ++k) dig[k] = tmp[m - 1 - k];
+        n_dig = m;
+    }
+    char* w = out;
+    if (neg) *w++ = '-';
+    if (exp10 == 0) {
+        std::memcpy(w, dig, (size_t)n_dig); w += n_dig;
+    } else if (exp10 > 0 || -exp10 >= n_dig + 4) {
+        int e;
+        if (n_dig == 1) { *w++ = dig[0]; e = exp10; }
+        else {
+            *w++ = dig[0]; *w++ = '.';
+            std::memcpy(w, dig + 1, (size_t)(n_dig - 1)); w += n_dig - 1;
+            e = exp10 + n_dig - 1;
+        }
+        *w++ = 'e';
+        *w++ = e < 0 ? '-' : '+';
+        int ae = e < 0 ? -e : e;
+        if (ae >= 100) { *w++ = (char)('0' + ae / 100); ae %= 100; }
+        *w++ = (char)('0' + ae / 10);
+        *w++ = (char)('0' + ae % 10);
+    } else if (-exp10 < n_dig) {
+        int dot = n_dig + exp10;
+        std::memcpy(w, dig, (size_t)dot); w += dot;
+        *w++ = '.';
+        std::memcpy(w, dig + dot, (size_t)(n_dig - dot)); w += n_dig - dot;
+    } else {
+        *w++ = '0'; *w++ = '.';
+        for (int k = 0; k < -exp10 - n_dig; ++k) *w++ = '0';
+        std::memcpy(w, dig, (size_t)n_dig); w += n_dig;
+    }
+    return (int)(w - out);
+}
+
+static void app_real(std::string& s, double v, int prec) {
+    char b[40];
+    s.append(b, (size_t)fmt_real(v, prec, b));
+}
+
+static void app_int(std::string& s, int64_t v) {
+    char b[24];
+    auto r = std::to_chars(b, b + sizeof(b), v);
+    s.append(b, (size_t)(r.ptr - b));
+}
+
+// Column ids — must match native_engine.COLUMN_IDS / params registry.
+enum {
+    COL_RIDX = 0, COL_QIDX, COL_REFERENCE, COL_QUERY, COL_QCOV, COL_RCOV,
+    COL_GANI, COL_RLEN, COL_QLEN, COL_LEN_RATIO, COL_ANI, COL_NUM_ALNS,
+    COL_NT_MISMATCH, COL_NT_MATCH, COL_TANI
+};
+
+}  // namespace lzfmt
+
+// Stream the results TSV (two lines per surviving pair, reference row-major)
+// to out_path. Layouts:
+//   dense (indptr == NULL): triples slot (r, q) = r*(n-1) + (q>r ? q-1 : q)
+//   CSR: entry e of row r covers query ids[e], triple = triples + 3*e;
+//        per-row entries are sorted by id (stable) before emission, and the
+//        mirror lookup takes the first entry (output.ResultMatrix.from_csr)
+// names_blob/name_offs: concatenated latin-1 names (n+1 offsets).
+// lens: per-sequence corrected lengths. comps: column ids in output order.
+// header: full header line including trailing newline.
+// Returns 0 on success, 1 on I/O failure.
+int32_t lza_format_results(
+    const int32_t* triples, int64_t n, const int64_t* indptr,
+    const int32_t* ids, const int64_t* lens, const char* names_blob,
+    const int64_t* name_offs, const int32_t* comps, int32_t n_comps,
+    int32_t in_percent, int32_t flt_enabled, double f_gani, double f_ani,
+    double f_tani, double f_qcov, double f_rcov, int32_t n_threads,
+    const char* out_path, const char* header) {
+    using namespace lzfmt;
+    std::FILE* fh = std::fopen(out_path, "wb");
+    if (!fh) return 1;
+    std::vector<char> fbuf(1u << 25);
+    std::setvbuf(fh, fbuf.data(), _IOFBF, fbuf.size());
+    std::fwrite(header, 1, std::strlen(header), fh);
+
+    double mult = in_percent ? 100.0 : 1.0;
+
+    // CSR: per-row stable sort by query id (entry order preserved on ties).
+    std::vector<int64_t> sorted_e;   // entry indices, rows back to back
+    std::vector<int32_t> sorted_id;  // ids in the same order
+    if (indptr) {
+        int64_t E = indptr[n];
+        sorted_e.resize((size_t)E);
+        sorted_id.resize((size_t)E);
+        for (int64_t r = 0; r < n; ++r) {
+            int64_t lo = indptr[r], hi = indptr[r + 1];
+            for (int64_t e = lo; e < hi; ++e) sorted_e[(size_t)e] = e;
+            std::stable_sort(
+                sorted_e.begin() + lo, sorted_e.begin() + hi,
+                [&](int64_t a, int64_t b) { return ids[a] < ids[b]; });
+            for (int64_t e = lo; e < hi; ++e)
+                sorted_id[(size_t)e] = ids[sorted_e[(size_t)e]];
+        }
+    }
+
+    // first entry of row `row` with id `want`; -1 when absent
+    auto first_entry = [&](int64_t row, int32_t want) -> int64_t {
+        int64_t lo = indptr[row], hi = indptr[row + 1];
+        const int32_t* base = sorted_id.data();
+        const int32_t* it =
+            std::lower_bound(base + lo, base + hi, want);
+        if (it == base + hi || *it != want) return -1;
+        return sorted_e[(size_t)(it - base)];
+    };
+
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int64_t> next_row{0};
+    std::vector<std::string> chunks((size_t)n);
+    std::vector<uint8_t> done((size_t)n, 0);
+    std::mutex mx;
+    std::condition_variable cv_ready, cv_space;
+    int64_t wpos = 0;
+    const int64_t window = 4 * (int64_t)n_threads + 4;
+    bool io_error = false;
+
+    auto worker = [&]() {
+        std::string s;
+        char nb[40];
+        while (true) {
+            int64_t r = next_row.fetch_add(1);
+            if (r >= n) break;
+            {   // backpressure: stay within `window` rows of the writer
+                std::unique_lock<std::mutex> lk(mx);
+                cv_space.wait(lk, [&] { return r < wpos + window; });
+            }
+            s.clear();
+            int64_t lo = indptr ? indptr[r] : 0;
+            int64_t hi = indptr ? indptr[r + 1] : 0;
+            int64_t e_or_q = indptr ? lo : r + 1;
+            int64_t end = indptr ? hi : n;
+            for (; e_or_q < end; ++e_or_q) {
+                int64_t q, t_fwd;
+                if (indptr) {
+                    int64_t e = sorted_e[(size_t)e_or_q];
+                    q = ids[e];
+                    if (q <= r) continue;
+                    t_fwd = 3 * e;
+                } else {
+                    q = e_or_q;
+                    t_fwd = 3 * (r * (n - 1) + q - 1);
+                }
+                int64_t t_rev;
+                if (indptr) {
+                    int64_t e2 = first_entry(q, (int32_t)r);
+                    if (e2 < 0) continue;  // asserted symmetric upstream
+                    t_rev = 3 * e2;
+                } else {
+                    t_rev = 3 * (q * (n - 1) + r);
+                }
+                // direction index 0 = (query=q, reference=r)
+                int64_t idv[2] = {r, q};
+                int64_t ln[2] = {lens[q], lens[r]};
+                int64_t si_mat[2] = {triples[t_fwd], triples[t_rev]};
+                int64_t si_lit[2] = {triples[t_fwd + 1], triples[t_rev + 1]};
+                int64_t no_reg[2] = {triples[t_fwd + 2], triples[t_rev + 2]};
+                double tani = (double)(si_mat[0] + si_mat[1]) /
+                              (double)(ln[0] + ln[1]);
+                double gani[2], ani[2], cov[2];
+                for (int i = 0; i < 2; ++i) {
+                    gani[i] = (double)si_mat[i] / (double)ln[i];
+                    ani[i] = (si_mat[i] + si_lit[i])
+                                 ? (double)si_mat[i] /
+                                       (double)(si_mat[i] + si_lit[i])
+                                 : 0.0;
+                    cov[i] = (double)(si_mat[i] + si_lit[i]) / (double)ln[i];
+                }
+                int lr_len = 0;
+                if (ln[0] && ln[1]) {
+                    double lr = ln[0] < ln[1]
+                                    ? (double)ln[0] / (double)ln[1]
+                                    : (double)ln[1] / (double)ln[0];
+                    lr_len = fmt_real(lr, 4, nb);
+                } else {
+                    nb[0] = '0';
+                    lr_len = 1;
+                }
+                for (int i = 0; i < 2; ++i) {
+                    int j = 1 - i;
+                    if (flt_enabled &&
+                        (gani[i] < f_gani || ani[i] < f_ani ||
+                         tani < f_tani || cov[i] < f_qcov ||
+                         cov[j] < f_rcov))
+                        continue;
+                    for (int32_t c = 0; c < n_comps; ++c) {
+                        if (c) s.push_back('\t');
+                        switch (comps[c]) {
+                            case COL_RIDX: app_int(s, idv[i]); break;
+                            case COL_QIDX: app_int(s, idv[j]); break;
+                            case COL_REFERENCE:
+                                s.append(names_blob + name_offs[idv[i]],
+                                         (size_t)(name_offs[idv[i] + 1] -
+                                                  name_offs[idv[i]]));
+                                break;
+                            case COL_QUERY:
+                                s.append(names_blob + name_offs[idv[j]],
+                                         (size_t)(name_offs[idv[j] + 1] -
+                                                  name_offs[idv[j]]));
+                                break;
+                            case COL_QCOV: app_real(s, mult * cov[i], 6); break;
+                            case COL_RCOV: app_real(s, mult * cov[j], 6); break;
+                            case COL_GANI: app_real(s, mult * gani[i], 6); break;
+                            case COL_RLEN: app_int(s, ln[j]); break;
+                            case COL_QLEN: app_int(s, ln[i]); break;
+                            case COL_LEN_RATIO:
+                                s.append(nb, (size_t)lr_len); break;
+                            case COL_ANI: app_real(s, mult * ani[i], 6); break;
+                            case COL_NUM_ALNS: app_int(s, no_reg[i]); break;
+                            case COL_NT_MISMATCH: app_int(s, si_lit[i]); break;
+                            case COL_NT_MATCH: app_int(s, si_mat[i]); break;
+                            case COL_TANI: app_real(s, mult * tani, 6); break;
+                        }
+                    }
+                    s.push_back('\n');
+                }
+            }
+            std::lock_guard<std::mutex> lk(mx);
+            chunks[(size_t)r].swap(s);
+            done[(size_t)r] = 1;
+            cv_ready.notify_all();
+        }
+    };
+
+    std::thread writer([&]() {
+        while (wpos < n) {
+            std::string chunk;
+            {
+                std::unique_lock<std::mutex> lk(mx);
+                cv_ready.wait(lk, [&] { return done[(size_t)wpos] != 0; });
+                chunk.swap(chunks[(size_t)wpos]);
+            }
+            if (!chunk.empty() &&
+                std::fwrite(chunk.data(), 1, chunk.size(), fh) !=
+                    chunk.size())
+                io_error = true;
+            {
+                std::lock_guard<std::mutex> lk(mx);
+                wpos++;
+                cv_space.notify_all();
+            }
+        }
+    });
+
+    if (n_threads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int32_t t = 0; t < n_threads; ++t) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    writer.join();
+    if (std::fclose(fh) != 0) io_error = true;
+    return io_error ? 1 : 0;
+}
+
+// ----------------------------------------------------------------------------
+// Parallel kmer-db filter parse — the native analog of the reference's
+// reader + N-parser pipeline with sharded symmetrization
+// (filter.cpp:95-289). The caller hands the decompressed CSV body (all
+// lines after the header); rows are tokenized on a thread pool and the
+// symmetrized CSR is built in one pass.
+//
+// Semantics (matching io/kmerdb_filter.py and filter.cpp):
+//   * a line whose content (after stripping trailing \r) is <= 2 chars is
+//     skipped and does not consume a row id
+//   * tokens are comma-separated; one trailing empty token is dropped
+//   * a token must contain exactly one ':' to count; id is 1-based
+//   * val >= thr keeps the pair; both directions are stored
+//
+// Returns the total number of CSR entries (= 2 x accepted tokens), or
+//   -1 if more data rows than n_rows, -2 on an out-of-range id,
+//   -3 if `cap` is too small (caller sizes cap from the ':' count).
+// indptr must hold n_rows+1 entries.
+int64_t lza_parse_kmerdb(const char* data, int64_t len, double thr,
+                         int64_t n_rows, int32_t n_threads, int64_t* indptr,
+                         int32_t* ids_out, int64_t cap) {
+    struct Line { int64_t off, len; };
+    std::vector<Line> lines;
+    {
+        int64_t pos = 0;
+        while (pos < len) {
+            const char* nl =
+                (const char*)std::memchr(data + pos, '\n', (size_t)(len - pos));
+            int64_t end = nl ? (int64_t)(nl - data) : len;
+            int64_t l = end - pos;
+            while (l > 0 && data[pos + l - 1] == '\r') l--;  // rstrip("\r")
+            lines.push_back({pos, l});
+            pos = end + 1;
+        }
+    }
+    // row ids: non-short lines only (filter.cpp:104-112)
+    std::vector<int64_t> row_of(lines.size());
+    int64_t n_used = 0;
+    for (size_t k = 0; k < lines.size(); ++k)
+        row_of[k] = lines[k].len <= 2 ? -1 : n_used++;
+    if (n_used > n_rows) return -1;
+
+    if (n_threads < 1) n_threads = 1;
+    int T = (int)std::min<int64_t>(n_threads, (int64_t)lines.size() + 1);
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> parts((size_t)T);
+    std::atomic<int32_t> bad{0};
+
+    auto parse_range = [&](int t, size_t klo, size_t khi) {
+        auto& out = parts[(size_t)t];
+        for (size_t k = klo; k < khi && !bad.load(std::memory_order_relaxed);
+             ++k) {
+            if (row_of[k] < 0) continue;
+            int32_t row = (int32_t)row_of[k];
+            const char* p = data + lines[k].off;
+            const char* lend = p + lines[k].len;
+            while (p < lend) {
+                const char* tend =
+                    (const char*)std::memchr(p, ',', (size_t)(lend - p));
+                const char* te = tend ? tend : lend;
+                // one trailing empty token is dropped implicitly (te==p at
+                // line end contributes nothing)
+                const char* colon =
+                    (const char*)std::memchr(p, ':', (size_t)(te - p));
+                if (colon &&
+                    !std::memchr(colon + 1, ':', (size_t)(te - colon - 1))) {
+                    char* endp;
+                    double val = std::strtod(colon + 1, &endp);
+                    if (val >= thr) {
+                        long id = std::strtol(p, &endp, 10);
+                        int64_t other = (int64_t)id - 1;
+                        if (other < 0 || other >= n_rows) {
+                            bad.store(2);
+                            break;
+                        }
+                        out.emplace_back(row, (int32_t)other);
+                    }
+                }
+                p = te + 1;
+            }
+        }
+    };
+
+    if (T <= 1) {
+        parse_range(0, 0, lines.size());
+    } else {
+        std::vector<std::thread> ts;
+        size_t per = (lines.size() + (size_t)T - 1) / (size_t)T;
+        for (int t = 0; t < T; ++t) {
+            size_t klo = (size_t)t * per;
+            size_t khi = std::min(lines.size(), klo + per);
+            if (klo >= khi) break;
+            ts.emplace_back(parse_range, t, klo, khi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    if (bad.load()) return -2;
+
+    // counts (both directions), prefix, fill
+    std::vector<int64_t> cnt((size_t)n_rows, 0);
+    int64_t total = 0;
+    for (auto& part : parts)
+        for (auto& pr : part) {
+            cnt[(size_t)pr.first]++;
+            cnt[(size_t)pr.second]++;
+            total += 2;
+        }
+    if (total > cap) return -3;
+    indptr[0] = 0;
+    for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + cnt[(size_t)r];
+    std::vector<int64_t> cur(indptr, indptr + n_rows);
+    for (auto& part : parts)
+        for (auto& pr : part) {
+            ids_out[cur[(size_t)pr.first]++] = pr.second;
+            ids_out[cur[(size_t)pr.second]++] = pr.first;
+        }
+    return total;
 }
 
 // Build-info probe so Python can verify the ABI.

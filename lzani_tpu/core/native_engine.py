@@ -96,6 +96,19 @@ def get_lib():
             ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
             ct.POINTER(ct.c_int64),
         ]
+        lib.lza_format_results.restype = ct.c_int32
+        lib.lza_format_results.argtypes = [
+            ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64), ct.c_char_p,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_int32,
+            ct.c_int32, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
+            ct.c_double, ct.c_double, ct.c_int32, ct.c_char_p, ct.c_char_p,
+        ]
+        lib.lza_parse_kmerdb.restype = ct.c_int64
+        lib.lza_parse_kmerdb.argtypes = [
+            ct.c_char_p, ct.c_int64, ct.c_double, ct.c_int64, ct.c_int32,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_int64,
+        ]
         _lib = lib
         return lib
 
@@ -324,6 +337,77 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
     if rc != 0:
         raise RuntimeError(f"lza_all2all failed with code {rc}")
     return out
+
+
+def parse_kmerdb_csr(body: bytes, thr: float, n_rows: int,
+                     n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a kmer-db CSV body (everything after the header line) on
+    the native thread pool and return the symmetrized CSR (indptr, ids)."""
+    lib = get_lib()
+    cap = 2 * body.count(b":") + 2
+    indptr = np.zeros(n_rows + 1, np.int64)
+    ids = np.zeros(cap, np.int32)
+    nt = n_threads or (os.cpu_count() or 1)
+    rc = lib.lza_parse_kmerdb(
+        body, len(body), float(thr), n_rows, nt,
+        indptr.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ids.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
+    if rc < 0:
+        raise ValueError(f"Incorrect kmer-db filter file (code {rc})")
+    return indptr, ids[:rc].copy()
+
+
+# Column ids — must match lzfmt::COL_* in lzani_core.cpp.
+COLUMN_IDS = {
+    "ridx": 0, "qidx": 1, "reference": 2, "query": 3, "qcov": 4, "rcov": 5,
+    "gani": 6, "rlen": 7, "qlen": 8, "len_ratio": 9, "ani": 10,
+    "num_alns": 11, "nt_mismatch": 12, "nt_match": 13, "tani": 14,
+}
+
+
+def format_results(out_path: str, params, store, triples: np.ndarray,
+                   filter_csr=None) -> None:
+    """Stream the results TSV via the threaded native formatter — the
+    parallel ordered-output analog of the reference's store_results
+    (lz_matcher.cpp:371-567). Byte-identical to output.results_tsv_lines
+    (pinned by tests/test_native_format.py)."""
+    lib = get_lib()
+    n = len(store)
+    comps = params.output_components
+    comp_ids = np.array([COLUMN_IDS[c] for c in comps], np.int32)
+    header = ("\t".join(comps) + "\n").encode("latin-1")
+    mrd = params.max_dist_in_ref
+    lens = np.array(
+        [len(c) - (p - 1) * mrd
+         for c, p in zip(store.codes, store.no_parts)], np.int64)
+    name_bytes = [nm.encode("latin-1") for nm in store.names]
+    names_blob = b"".join(name_bytes)
+    name_offs = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in name_bytes], out=name_offs[1:])
+
+    if filter_csr is not None:
+        indptr, ids = filter_csr
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        ip = indptr.ctypes.data_as(ct.POINTER(ct.c_int64))
+        idp = ids.ctypes.data_as(ct.POINTER(ct.c_int32))
+    else:
+        ip = None
+        idp = None
+    t = np.ascontiguousarray(triples, dtype=np.int32)
+
+    flt = params.output_filter
+    rc = lib.lza_format_results(
+        t.ctypes.data_as(ct.POINTER(ct.c_int32)), n, ip, idp,
+        lens.ctypes.data_as(ct.POINTER(ct.c_int64)), names_blob,
+        name_offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        comp_ids.ctypes.data_as(ct.POINTER(ct.c_int32)), len(comps),
+        1 if params.output_in_percent else 0, 1 if flt else 0,
+        flt.get("gani", 0.0), flt.get("ani", 0.0), flt.get("tani", 0.0),
+        flt.get("qcov", 0.0), flt.get("rcov", 0.0),
+        int(params.no_threads), out_path.encode(), header)
+    if rc != 0:
+        raise RuntimeError(f"lza_format_results failed with code {rc}")
 
 
 def read_region_dump(path: str):

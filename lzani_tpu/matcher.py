@@ -14,7 +14,7 @@ import time
 from .io.fasta import SequenceStore, load_store
 from .io.kmerdb_filter import PairFilter
 from .output import (ResultMatrix, alignment_lines, derive_ids_path,
-                     ids_file_lines, results_tsv_lines, single_txt_lines)
+                     ids_file_lines, single_txt_lines)
 from .params import Params
 
 
@@ -61,11 +61,11 @@ class Matcher:
         self._mark("Reordering sequences")
 
         self._log("All2all sparse")
-        rm, region_path = self._do_matching()
+        triples, csr, region_path = self._do_matching()
         self._mark("LZ matching")
 
         self._log("Storing results")
-        ok = self._store_results(rm, region_path)
+        ok = self._store_results(triples, csr, region_path)
         self._mark("Storing results")
 
         if p.verbosity_level >= 2:
@@ -97,8 +97,7 @@ class Matcher:
                 import numpy as np
 
                 n = len(self.store)
-                total_pairs = (sum(len(r) for r in
-                                   (self.filter.rows if self.filter else []))
+                total_pairs = ((self.filter.total if self.filter else 0)
                                or n * (n - 1))
                 prog = np.zeros(2, dtype=np.int64)
                 stop = threading.Event()
@@ -126,8 +125,20 @@ class Matcher:
                     mon.join()
         elif backend == "pallas":
             from .ops.pallas_engine import all2all_pallas
+            prog_cb = None
+            if p.verbosity_level >= 2:
+                state = {"last": ""}
+
+                def prog_cb(done, total):
+                    s = f"Pairs: {100 * done // max(total, 1)}%"
+                    if s != state["last"]:
+                        print(s + "       ", end="\r", file=sys.stderr,
+                              flush=True)
+                        state["last"] = s
+
             triples = all2all_pallas(self.store.codes, p, filter_csr=csr,
-                                     region_path=region_path)
+                                     region_path=region_path,
+                                     progress=prog_cb)
         elif backend == "jax":
             import jax as _jax
             if _jax.default_backend() not in ("cpu",):
@@ -142,32 +153,38 @@ class Matcher:
             triples = all2all_jax(self.store.codes, p, filter_csr=csr)
             if region_path:
                 # regions path currently served by the native engine
+                self._log("Alignment regions computed by the native engine "
+                          "(second pass; --backend jax has no regions path)")
                 from .core import native_engine
                 native_engine.all2all(self.store.codes, p, filter_csr=csr,
                                       region_path=region_path)
         else:
             raise ValueError(f"Unknown backend: {backend}")
 
-        if csr is None:
-            rm = ResultMatrix.from_dense(triples)
-        else:
-            rm = ResultMatrix.from_csr(len(self.store), csr[0], csr[1], triples)
-        return rm, region_path
+        return triples, csr, region_path
 
     # ------------------------------------------------------------------
-    def _store_results(self, rm: ResultMatrix, region_path) -> bool:
+    def _store_results(self, triples, csr, region_path) -> bool:
         p = self.params
         store = self.store
 
         if p.output_type == "single_txt":
+            if csr is None:
+                rm = ResultMatrix.from_dense(triples)
+            else:
+                rm = ResultMatrix.from_csr(len(store), csr[0], csr[1],
+                                           triples)
             with open(p.output_file_name, "w", encoding="latin-1") as fh:
                 fh.writelines(single_txt_lines(p, store, rm))
         else:
             ids_path = p.output_ids_file_name or derive_ids_path(p.output_file_name)
             with open(ids_path, "w", encoding="latin-1") as fh:
                 fh.writelines(ids_file_lines(store, p.max_dist_in_ref))
-            with open(p.output_file_name, "w", encoding="latin-1") as fh:
-                fh.writelines(results_tsv_lines(p, store, rm))
+            # threaded native formatter streams the TSV in ref-id order
+            # (the P4 analog; byte-identical to output.results_tsv_lines)
+            from .core.native_engine import format_results
+            format_results(p.output_file_name, p, store, triples,
+                           filter_csr=csr)
 
         if p.output_alignment_file_name:
             from .core.native_engine import read_region_dump

@@ -796,11 +796,20 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     Host work (query prep, C++ replay) overlaps with device batches via a
     small thread pool — the reference's host threads become the *feeder*
     of the accelerator rather than the compute engine.
+
+    progress: optional callable(pairs_done, total_pairs) invoked as work
+    units finish (the device-backend analog of lz_matcher.cpp:187-264).
     """
     import os
-    import struct
+    import sys
     import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    verbosity = getattr(params, "verbosity_level", 1)
+
+    def _warn(msg):
+        if verbosity >= 1:
+            print(msg, file=sys.stderr)
 
     from ..core import native_engine
 
@@ -864,6 +873,10 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             wanted = {int(q): int(indptr[r]) + k
                       for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
         if 2 * len(codes[r]) + 3 * params.max_dist_in_ref > MAX_REF_SYMS:
+            _warn(f"lz-ani-tpu: reference {r} "
+                  f"({len(codes[r])} bp) exceeds the device VMEM budget "
+                  f"({MAX_REF_SYMS} composite symbols); row runs on the "
+                  f"native engine")
             native_rows.append((r, wanted))
             continue
         for lo in range(0, eng.n_pad, eng.B):
@@ -871,23 +884,33 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             if sub:
                 units.append((r, lo, sub))
 
+    total_pairs = (sum(len(u[2]) for u in units)
+                   + sum(len(w) for _, w in native_rows))
+    n_fallback = 0
+
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
         pending = []
         inflight = []  # depth-2 dispatch pipeline hides downloads
-        done_refs = 0
+        done_pairs = 0
 
         def drain(u, handles):
-            nonlocal done_refs
+            nonlocal done_pairs, n_fallback
             r, lo, sub = u
             evs = eng.collect(handles)
             for q, w in sub.items():
                 slot = ((r, q - 1 if q > r else q)
                         if filter_csr is None else w)
+                if evs[q - lo] is None:
+                    n_fallback += 1
+                    if verbosity >= 2:
+                        print(f"lz-ani-tpu: pair ({r},{q}) fell back to "
+                              f"the native engine (event/anchor capacity)",
+                              file=sys.stderr)
                 pending.append(pool.submit(finalize, r, q, evs[q - lo],
                                            slot))
-            done_refs += 1
+            done_pairs += len(sub)
             if progress is not None:
-                progress(done_refs, len(units))
+                progress(done_pairs, total_pairs)
 
         for u in units:
             handles = eng.dispatch_range(u[0], u[1])
@@ -901,8 +924,14 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 slot = ((r, q - 1 if q > r else q)
                         if filter_csr is None else w)
                 pending.append(pool.submit(finalize, r, q, None, slot))
+            done_pairs += len(wanted)
+            if progress is not None:
+                progress(done_pairs, total_pairs)
         for f in pending:
             f.result()
+    if n_fallback:
+        _warn(f"lz-ani-tpu: {n_fallback}/{total_pairs} pairs fell back to "
+              f"the native engine (event-buffer or anchor-bucket capacity)")
     if rf is not None:
         rf.close()
     return out

@@ -95,6 +95,27 @@ def test_kernel_nondefault_params():
     _check(ref, q[:650], p)
 
 
+def test_all2all_pallas_event_overflow_fallback(monkeypatch):
+    """Event-buffer overflow (both the in-kernel MAXEV stop and the
+    download-side EV_CAP gate) must fall back to the native engine and
+    still produce exact triples end-to-end."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    rng = np.random.RandomState(33)
+    ref = rng.randint(0, 4, 800).astype(np.uint8)
+    # query = many scattered 12-mers of ref -> one distant event each
+    parts = [ref[j:j + 12] for j in rng.randint(0, 700, 40)]
+    q = np.concatenate(parts).astype(np.uint8)
+    codes = [ref, q]
+    # tiny capacities: pair (ref->q) produces ~40 events > both limits
+    monkeypatch.setattr(pe.PallasRefIndex, "MAXEV", 32)
+    monkeypatch.setattr(pe.PallasAll2All, "EV_CAP", 8)
+    out = pe.all2all_pallas(codes, p, interpret=True)
+    want = ne.all2all(codes, p)
+    assert np.array_equal(out, want)
+
+
 def test_all2all_pallas_filter_path():
     """Sparse kmer-db filter CSR through the device driver (interpret)."""
     from lzani_tpu.ops import pallas_engine as pe
