@@ -2,23 +2,27 @@
 """Benchmark harness: all-vs-all ANI on the vir61 set (61 virus genomes,
 the reference's CI anchor — /root/reference/test/vir61).
 
-Prints ONE JSON line:
-  {"metric": "vir61_pairs_per_s", "value": N, "unit": "pairs/s",
-   "vs_baseline": N, ...}
+Prints ONE JSON line. The HEADLINE metric is the TPU event-log engine
+(`--backend pallas`) on the FULL vir61 set, warm (one un-timed run first
+pays the Mosaic compiles); `vs_baseline` divides it by the measured rate
+of the actual reference binary (built by scripts/build_reference_binary.sh)
+at max host threads — the honest "TPU build vs reference" ratio demanded
+by BASELINE.md. The native C++ engine and the reference binary rates are
+reported as side keys, and the device triples are asserted byte-equal to
+the native engine's.
 
-The headline is the production backend (native CPU engine — the
-reference-equivalent path that produces byte-exact golden output);
-`vs_baseline` compares against the same engine, so 1.0 = reference parity.
-The TPU event-log kernel (ops/pallas_engine.py) is additionally measured
-on a genome subset and reported as `pallas_pairs_per_s` with its
-exactness asserted against the oracle. Set BENCH_SKIP_PALLAS=1 to skip
-the device measurement (e.g. no accelerator attached).
+Env toggles:
+  BENCH_SKIP_PALLAS=1  skip the device measurement (headline falls back to
+                       the native engine)
+  BENCH_PALLAS_FAST=1  measure the device engine on a 12-genome subset
+                       (one shape bucket; quick smoke)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +30,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 VIR61 = "/root/reference/test/vir61"
+REF_BIN = "/tmp/lzani_ref"
 
 
 def load_vir61():
@@ -45,6 +50,27 @@ def load_vir61():
     return p, store
 
 
+def reference_binary_rate(n_pairs: int, threads: int) -> float | None:
+    """Build (once) and time the actual reference binary on vir61."""
+    if not os.path.isdir(VIR61):
+        return None
+    try:
+        if not os.path.exists(REF_BIN):
+            subprocess.run(
+                ["bash", os.path.join(REPO, "scripts",
+                                      "build_reference_binary.sh")],
+                check=True, capture_output=True, timeout=600)
+        cmd = [REF_BIN, "all2all", "--in-dir", VIR61, "--out",
+               "/tmp/bench_ref.tsv", "-t", str(threads), "-V", "0"]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        dt = time.perf_counter() - t0
+        return n_pairs / dt
+    except Exception:
+        return None
+
+
 def main() -> int:
     import numpy as np
 
@@ -52,11 +78,15 @@ def main() -> int:
     codes = store.codes
     n = len(codes)
     pairs = n * (n - 1)
+    threads = os.cpu_count() or 1
+
+    # --- reference binary (the baseline being beaten) ---------------------
+    ref_rate = reference_binary_rate(pairs, threads)
 
     # --- CPU production backend (reference-equivalent) --------------------
     from lzani_tpu.core import native_engine
 
-    p.no_threads = os.cpu_count() or 1
+    p.no_threads = threads
     native_engine.all2all(codes, p)  # warm (.so build, page-in)
     t0 = time.perf_counter()
     ref_out = native_engine.all2all(codes, p)
@@ -64,16 +94,19 @@ def main() -> int:
     cpu_rate = pairs / cpu_dt
 
     result = {
-        "metric": "vir61_pairs_per_s",
-        "value": round(cpu_rate, 1),
+        "metric": "vir61_pallas_pairs_per_s",
         "unit": "pairs/s",
-        "vs_baseline": 1.0,
-        "backend": "native-cpu",
+        "backend": "pallas-tpu",
         "n_genomes": n,
-        "threads": p.no_threads,
+        "threads": threads,
+        "native_pairs_per_s": round(cpu_rate, 1),
+        "reference_binary_pairs_per_s":
+            round(ref_rate, 1) if ref_rate else None,
     }
+    baseline = ref_rate or cpu_rate
 
-    # --- TPU event-log kernel on a subset ---------------------------------
+    # --- TPU event-log engine ---------------------------------------------
+    dev_rate = None
     if not os.environ.get("BENCH_SKIP_PALLAS"):
         try:
             import jax
@@ -85,24 +118,36 @@ def main() -> int:
             if jax.default_backend() != "cpu":
                 from lzani_tpu.ops.pallas_engine import all2all_pallas
 
-                if os.environ.get("BENCH_PALLAS_FULL"):
-                    sub = codes          # full set (more Mosaic compiles)
+                if os.environ.get("BENCH_PALLAS_FAST"):
+                    sub = codes[:12]     # one shape bucket (quick smoke)
                 else:
-                    sub = codes[:12]     # one shape bucket
+                    sub = codes          # FULL set: the honest headline
                 sub_pairs = len(sub) * (len(sub) - 1)
-                all2all_pallas(sub, p)  # warm/compile
+                t0 = time.perf_counter()
+                all2all_pallas(sub, p)   # warm: Mosaic compiles
+                result["pallas_cold_s"] = round(time.perf_counter() - t0, 1)
                 t0 = time.perf_counter()
                 dev_out = all2all_pallas(sub, p)
                 dev_dt = time.perf_counter() - t0
                 exact = np.array_equal(
                     dev_out, ref_out[:len(sub), :len(sub) - 1]
                     if len(sub) < n else ref_out)
-                result["pallas_pairs_per_s"] = round(sub_pairs / dev_dt, 1)
+                dev_rate = sub_pairs / dev_dt
                 result["pallas_n_genomes"] = len(sub)
                 result["pallas_exact"] = bool(exact)
                 result["pallas_backend"] = jax.default_backend()
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
+
+    if dev_rate is not None:
+        result["value"] = round(dev_rate, 1)
+        result["vs_baseline"] = round(dev_rate / baseline, 4)
+    else:
+        # no device attached: report the native engine as the headline
+        result["metric"] = "vir61_native_pairs_per_s"
+        result["backend"] = "native-cpu"
+        result["value"] = round(cpu_rate, 1)
+        result["vs_baseline"] = round(cpu_rate / baseline, 4)
 
     print(json.dumps(result))
     return 0

@@ -42,13 +42,15 @@ def encode_dna(seq_bytes: bytes) -> np.ndarray:
     return _DNA_CODE[np.frombuffer(seq_bytes, dtype=np.uint8)]
 
 
-def _open_text(path: str):
-    # latin-1 preserves raw bytes 1:1, matching the reference's byte-level reads
+def _open_bin(path: str):
+    """Binary line stream (plain or gzip); the loaders work on raw bytes
+    and only decode header names (latin-1 = 1:1 byte mapping), so the hot
+    path never round-trips sequence data through str."""
     with open(path, "rb") as fh:
         magic = fh.read(2)
     if magic == b"\x1f\x8b":
-        return gzip.open(path, "rt", encoding="latin-1")
-    return open(path, "rt", encoding="latin-1")
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 def _cut_at_space(name: str) -> str:
@@ -81,45 +83,43 @@ class SequenceStore:
         for path in paths:
             name = None
             chunks: list[bytes] = []
-            with _open_text(path) as fh:
+            with _open_bin(path) as fh:
                 for line in fh:
-                    line = line.rstrip("\n").rstrip("\r")
+                    line = line.rstrip(b"\r\n")
                     if not line:
                         continue
-                    if line[0] == ">":
+                    if line[0] == 0x3E:  # '>'
                         if name:
                             self.add(name, encode_dna(b"".join(chunks)))
-                        name = line[1:]
+                        name = line[1:].decode("latin-1")
                         chunks = []
                     else:
-                        chunks.append(line.encode('latin-1'))
+                        chunks.append(line)
             if name:
                 self.add(name, encode_dna(b"".join(chunks)))
 
     def load_fasta_per_file(self, paths: list[str], sep_len: int) -> None:
         """One item per FILE; contigs joined with ``sep_len`` N-separators."""
-        sep = np.full(sep_len, CODE_N_SEQ, dtype=np.uint8)
+        sep = b"\x00" * sep_len  # NUL codes to 5 (CODE_N_SEQ) like any non-ACGT
         for path in paths:
             # mirror the reference exactly: a separator is appended on each '>'
             # line whenever the accumulated sequence is non-empty
             # (seq_reservoir.cpp:112-130)
-            parts: list[np.ndarray] = []
+            chunks: list[bytes] = []
             total = 0
-            with _open_text(path) as fh:
+            with _open_bin(path) as fh:
                 for line in fh:
-                    line = line.rstrip("\n").rstrip("\r")
+                    line = line.rstrip(b"\r\n")
                     if not line:
                         continue
-                    if line[0] == ">":
+                    if line[0] == 0x3E:  # '>'
                         if total:
-                            parts.append(sep)
+                            chunks.append(sep)
                             total += sep_len
                     else:
-                        chunk = encode_dna(line.encode("latin-1"))
-                        parts.append(chunk)
-                        total += len(chunk)
-            codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-            self.add(os.path.basename(path), codes)
+                        chunks.append(line)
+                        total += len(line)
+            self.add(os.path.basename(path), encode_dna(b"".join(chunks)))
 
     def reorder(self) -> np.ndarray:
         """Stable longest-first sort; returns ``reordering_map`` with

@@ -68,84 +68,81 @@ def vext(ref, p):
     return pltpu.roll(blk, 128 - rem, 1)[0, 0]
 
 
-def to_col(vrow, n):
-    """(1, n) -> (n, 1) without a transpose op: contract with an identity
-    matrix via dot_general (exact for values < 2^24 in f32)."""
-    r = jax.lax.broadcasted_iota(I32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(I32, (n, n), 1)
-    eye = (r == c).astype(jnp.float32)
+def to_col(vrow, eye):
+    """(1, 128) -> (128, 1) without a transpose op: contract with the
+    resident identity matrix via dot_general (exact for values < 2^24)."""
     out = jax.lax.dot_general(eye, vrow.astype(jnp.float32),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return out.astype(I32)  # (n, 1)
+    return out.astype(I32)  # (128, 1)
 
 
-def reverse_lanes(vrow):
-    """(1, n) lane reversal via an anti-identity MXU contraction
-    (no lane-permute gather needed; exact for values < 2^24)."""
-    n = vrow.shape[1]
-    r = jax.lax.broadcasted_iota(I32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(I32, (n, n), 1)
-    anti = (r + c == n - 1).astype(jnp.float32)
+def reverse_lanes(vrow, anti):
+    """(1, 128) lane reversal via the resident anti-identity MXU
+    contraction (no lane-permute gather needed; exact for values < 2^24)."""
     out = jax.lax.dot_general(vrow.astype(jnp.float32), anti,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     return out.astype(I32)  # (1, n), out[0, j] = vrow[0, n-1-j]
 
 
-def _dshift(M, step):
+def _dshift(M, step, ri, ci):
     """out[i, j] = M[i+step, j+step], zero-filled — via circular rolls +
-    masking (Mosaic rejects pad/concat of offset layouts)."""
+    masking (Mosaic rejects pad/concat of offset layouts). ri/ci are the
+    (R, C) row/col iotas (hoisted by the caller)."""
     R, C = M.shape
     M2 = pltpu.roll(pltpu.roll(M, R - step, 0), C - step, 1)
-    ri = jax.lax.broadcasted_iota(I32, (R, C), 0)
-    ci = jax.lax.broadcasted_iota(I32, (R, C), 1)
-    zero = jnp.zeros((), M.dtype)
-    return jnp.where((ri < R - step) & (ci < C - step), M2, zero)
+    return jnp.where((ri < R - step) & (ci < C - step), M2, 0)
 
 
-def _lshift(v, step, fill):
-    """(1, n) lanes: out[j] = v[j-step] for j >= step else fill."""
-    n = v.shape[1]
-    r = pltpu.roll(v, step, 1)
-    return jnp.where(lane_iota(n) >= step, r, fill)
-
-
-def diag_lce(E, cap):
-    """S[a,b] = min(cap, run of 1s along the diagonal from (a,b)).
-    E: (A, B) int32 0/1 (narrow ints would halve the VPU work but Mosaic
-    rotates are 32-bit only). Returns int32 (A, B); cap = power of two."""
-    S = E
+def run_detect(E, m, ri, ci):
+    """A[a,b] = 1 iff the diagonal run of 1s from (a,b) is >= m — the cheap
+    seed pre-test (3-4 shifted ANDs instead of a full capped LCE)."""
     A = E
+    P = 1
+    while P * 2 <= m:
+        A = A * _dshift(A, P, ri, ci)
+        P *= 2
+    if m > P:
+        A = A * _dshift(A, m - P, ri, ci)
+    return A
+
+
+def diag_lce(E, cap, ri, ci):
+    """S[a,b] = min(cap, run of 1s along the diagonal from (a,b)) via
+    saturation doubling: S_2n = S_n + (S_n == n) * shift(S_n, n). The
+    S == step test doubles as the old run-continuation matrix A, halving
+    the per-round tile ops. cap = power of two."""
+    S = E
     step = 1
     while step < cap:
-        S = S + A * _dshift(S, step)
-        A = A * _dshift(A, step)
+        R, C = E.shape
+        M2 = pltpu.roll(pltpu.roll(S, R - step, 0), C - step, 1)
+        take = (S == step) & (ri < R - step) & (ci < C - step)
+        S = S + jnp.where(take, M2, 0)
         step *= 2
-    return S.astype(I32)
-
-
-def lane_cumsum(v):
-    """Inclusive cumsum along lanes of (1, N) int32 via shift-doubling."""
-    n = v.shape[1]
-    step = 1
-    while step < n:
-        v = v + _lshift(v, step, 0)
-        step *= 2
-    return v
-
-
-def lane_cummax(v):
-    n = v.shape[1]
-    step = 1
-    while step < n:
-        v = jnp.maximum(v, _lshift(v, step, -(1 << 30)))
-        step *= 2
-    return v
+    return S
 
 
 def lane_iota(n):
     return jax.lax.broadcasted_iota(I32, (1, n), 1)
+
+
+def build_const_mat(aw: int, ar: int) -> np.ndarray:
+    """Kernel-resident constant matrices, one (128, 512) f32 block:
+      [:, 0:128)   identity           (to_col)
+      [:, 128:256) anti-identity      (reverse_lanes)
+      [:, 256:384) aw-banded window   (ext_scan bad-count matmul)
+      [:, 384:512) ar-banded window   (ext_scan run-test matmul)
+    B[k, e] = 1 iff e-width < k <= e: one MXU contraction computes the
+    sliding-window mismatch sums that previously took ~20 VPU shift-adds."""
+    k = np.arange(128)[:, None]
+    e = np.arange(128)[None, :]
+    eye = k == e
+    anti = k + e == 127
+    baw = (e - aw < k) & (k <= e)
+    bar = (e - ar < k) & (k <= e)
+    return np.concatenate([eye, anti, baw, bar], axis=1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +186,11 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         off, fm = jax.lax.while_loop(cond, lambda st: body(st), (off, fm))
         return jnp.minimum(off - CH + fm, cap)
 
-    def ext_scan(qref, rref, dpos, rpos, cap, max_len, forward):
+    def ext_scan(qref, rref, cmat, dpos, rpos, cap, max_len, forward):
         """The approximate sliding-window extension (parser.cpp:377-441),
-        exact semantics, vectorized per 128-chunk.
+        exact semantics, vectorized per 128-chunk. The two sliding-window
+        mismatch counts (aw-window "bad" and ar-window run test) come from
+        ONE MXU contraction against the resident banded matrices.
 
         forward: e-th symbols are q[dpos+e], r[rpos+e]; else q[dpos-1-e],
         r[rpos-1-e]. cap = positional bound (min over buffer edges);
@@ -202,7 +201,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         CE = 128
 
         def body(st):
-            base, run0, tail, last, done = st
+            base, run0, tail, last_v, done = st
             nv = jnp.minimum(total - base, CE)
 
             if forward:
@@ -221,7 +220,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 qb = align_load(qref, sq + sh, CE)
                 rb = align_load(rref, sr + sh, CE)
                 m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
-                mr = reverse_lanes(m0)          # lane j -> e = base-sh+j
+                mr = reverse_lanes(m0, cmat[:, 128:256])
                 miss = pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
                 # lanes j >= CE - sh wrapped around; they are beyond the
                 # positional cap (total <= min(dpos, rpos) <= base+CE-sh)
@@ -231,70 +230,78 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             valid = io < nv
             m_eff = jnp.where(valid, miss, 0)
 
-            # bad(e) = sum of miss over the last `aw` e's (including e),
-            # carry tail holds miss for e = base-(aw-1) .. base-1 in lanes
-            # 0..aw-2 of a (1, 128) vector.
-            cs = lane_cumsum(m_eff)
-            cs_shift = _lshift(cs, aw, 0)
-            win_local = cs - cs_shift
-            # carry contribution: tail[k] is in window(e=base+el) iff
-            # el <= k, so carry_bad(el) = suffix_sum(tail)[el]; the tail is
-            # zero beyond lane aw-2 < 16, so 4 shifted-add rounds suffice
-            # (cheaper than lane reversal, which costs MXU contractions)
+            # windowed mismatch sums via MXU: W2[0, e] = bad(e) (aw window),
+            # W2[0, 128+e] = miss count in the ar window ending at e
+            W2 = jax.lax.dot_general(
+                m_eff.astype(jnp.float32), cmat[:, 256:512],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(I32)
+            bad_w = W2[:, 0:128]
+            runm = W2[:, 128:256]
+
+            # bad(e) carry from the previous chunk: tail holds miss for
+            # e = base-(aw-1)..base-1 in lanes 0..aw-2; contribution to
+            # window(e=base+el) is the tail suffix sum at el
             sufs = tail
             for stp in (1, 2, 4, 8):
                 sufs = sufs + jnp.where(io < CE - stp,
                                         pltpu.roll(sufs, CE - stp, 1), 0)
-            carry_bad = jnp.where(io <= aw - 2, sufs, 0)
-            bad = win_local + carry_bad
+            bad = bad_w + jnp.where(io <= aw - 2, sufs, 0)
 
             stop = valid & (bad > am)
-            # "before the first stop" as a prefix scan (no scalar sync)
-            no_stop_yet = lane_cummax(jnp.where(stop, 1, 0)) == 0
+            # "before the first stop": e < (first stop index)
+            fs = jnp.min(jnp.where(stop, io, CE), axis=1, keepdims=True)
+            # run(e) >= ar  <=>  no miss in the ar-window ending at e,
+            # counting positions before the chunk as matches up to run0
+            # then a virtual mismatch (the old lm >= -(run0+1) floor)
+            extra = jnp.maximum((ar - 1 - run0) - io, 0)
+            ok = (valid & (m_eff == 0) & ((runm + extra) == 0)
+                  & (io < fs))  # m_eff==0 kept explicit for ar == 0
+            last_v = jnp.maximum(last_v, jnp.where(ok, base + io + 1, 0))
 
-            # run(e) = consecutive matches ending at e; carry run0
-            lm = lane_cummax(jnp.where(m_eff > 0, io, -BIG))
-            lm = jnp.maximum(lm, -(run0 + 1))
-            run = io - lm
-            ok = valid & (m_eff == 0) & (run >= ar) & no_stop_yet
-            cand = jnp.max(jnp.where(ok, base + io + 1, 0))
-            last = jnp.maximum(last, cand)
-
-            # one packed reduce: stop flag (bit 9) + edge run (clamped at
-            # ar — only its >= ar-ness ever matters to the next chunk)
-            r2 = jnp.max(jnp.where(stop, 512, 0)
-                         + jnp.where(io == CE - 1,
-                                     jnp.minimum(run, ar), 0))
-            stopped = r2 >= 512
+            # one packed reduce: stop flag (bit 20) + last in-chunk miss
+            key = (jnp.where(stop, 1 << 20, 0)
+                   + jnp.where(m_eff > 0, io + 256, 0))
+            r2 = jnp.max(key)
+            stopped = r2 >= (1 << 20)
+            lm_key = r2 & ((1 << 20) - 1)
+            # edge run clamped at ar (only its >= ar-ness matters onward);
+            # when nv < CE the loop ends and run_end is unused
+            run_end = jnp.where(
+                lm_key > 0,
+                jnp.minimum(nv - 1 - (lm_key - 256), ar),
+                jnp.minimum(run0 + nv, ar))
             done = stopped | (nv < CE)
-            run_end = r2 & 511
-            # new tail: miss at e = base+CE-(aw-1)+k  -> lane CE-(aw-1)+k
+            # new tail: miss at e = base+CE-(aw-1)+k  -> lane k
             ntail = pltpu.roll(m_eff, aw - 1, 1)
             ntail = jnp.where(io <= aw - 2, ntail, 0)
-            return base + CE, run_end, ntail, last, done
+            return base + CE, run_end, ntail, last_v, done
 
         init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
-                jnp.int32(0), jnp.bool_(False))
+                jnp.zeros((1, CE), I32), jnp.bool_(False))
 
         def cond(st):
             base, _, _, _, done = st
             return (~done) & (base < total)
 
-        _, _, _, last, _ = jax.lax.while_loop(cond, body, init)
-        return last
+        _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
+        return jnp.max(last_v)
 
     # ---------------- the kernel itself ------------------------------------
 
-    def kernel(scal_ref, refbuf, qbuf, poslist, cand_lo, cand_cnt,
-               next_hit, win, ev_out, nev_out):
+    def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
+               ev_out, nev_out):
         dsz = scal_ref[0, 0]
         nr = scal_ref[0, 1]
 
         def resolve_anchor(jpos):
             """(a_len, a_pos) per ht_long semantics; (0,0) if no candidate.
-            Exact lengths; smallest position wins ties (strict >)."""
-            lo = vext(cand_lo, jpos)
-            cnt = vext(cand_cnt, jpos)
+            Exact lengths; smallest position wins ties (strict >). The
+            anchor table packs (start << 7 | count) in one int32 so the
+            probe is a single dynamic load."""
+            pk = vext(cand, jpos)
+            lo = pk >> 7
+            cnt = pk & 127
 
             def run(_):
                 pvec = align_load(poslist, lo, 128)
@@ -362,7 +369,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 # backward extension into the top literal
                 bwd = jax.lax.cond(
                     tl > 0,
-                    lambda _: ext_scan(qbuf, refbuf, i_ev, bpos,
+                    lambda _: ext_scan(qbuf, refbuf, cmat, i_ev, bpos,
                                        jnp.minimum(i_ev, bpos), tl,
                                        forward=False),
                     lambda _: jnp.int32(0), None)
@@ -376,7 +383,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             i2 = i_ev + blen
             pred2 = bpos + blen
-            ext = ext_scan(qbuf, refbuf, i2, pred2,
+            ext = ext_scan(qbuf, refbuf, cmat, i2, pred2,
                            jnp.minimum(dsz - i2, nr - pred2), BIG,
                            forward=True)
             ne2, pend2 = log_event((ne, pend), i_ev, bpos, blen, bwd, ext)
@@ -421,23 +428,26 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             qrow = align_load(qbuf, i, 128)            # a < QROWS <= 128
             rrow = align_load(refbuf, b0, RCOLS)
-            qcol = to_col(qrow, 128)[:QROWS]           # (QROWS, 1)
+            qcol = to_col(qrow, cmat[:, 0:128])[:QROWS]   # (QROWS, 1)
             E = (qcol == rrow).astype(I32)             # (QROWS, RCOLS)
-            S = diag_lce(E, CAP)                       # int32
 
             rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
             coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
             w = b0 + coli
             pred_d = pred + rowi
-            valid = ((rowi < D_eff) & (coli < W + rowi)
-                     & (w < pred_d + mrd) & (S >= msl))
-            # seed-any per row
-            seed_any_m = jnp.max(jnp.where(valid, 1, 0), axis=1,
+            geo = (rowi < D_eff) & (coli < W + rowi) & (w < pred_d + mrd)
+
+            # cheap seed pre-test (a few shifted ANDs): which rows hold a
+            # run >= msl at all. The full capped LCE is only built when an
+            # event fires — most supersteps on dissimilar pairs find
+            # nothing and take the fast path below.
+            A = run_detect(E, msl, rowi, coli)
+            seed_any_m = jnp.max(jnp.where(geo & (A > 0), 1, 0), axis=1,
                                  keepdims=True)        # (QROWS, 1)
 
-            cvec = align_load(cand_cnt, i, 128)        # lanes d
+            cvec = align_load(cand, i, 128)            # lanes d (packed)
             anch_row = (cvec > 0).astype(I32)          # (1,128)
-            anch_col = to_col(anch_row, 128)[:QROWS]   # (QROWS,1)
+            anch_col = to_col(anch_row, cmat[:, 0:128])[:QROWS]  # (QROWS,1)
             di = jax.lax.broadcasted_iota(I32, (QROWS, 1), 0)
             hit = ((seed_any_m > 0) | (anch_col > 0)) & (di < D_eff)
             d_ev = jnp.min(jnp.where(hit, di, BIG))
@@ -451,27 +461,45 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         pend, n_ss, n_ds)
 
             def with_event(_):
+                S = diag_lce(E, CAP, rowi, coli)
+                valid = geo & (S >= msl)
+                # per-row winners, packed so each attempt costs ONE scalar
+                # sync: bits 23-29 row, 22 anchor-present, 21 seed-found,
+                # 15-20 capped seed length, 6-14 window column of winner.
+                # Tie-breaks inside a row (longest, then nearest to the
+                # prediction, then smallest position) are identical to the
+                # old per-attempt reduction.
+                Sv = jnp.where(valid, S, -1)
+                row_lmax = jnp.max(Sv, axis=1, keepdims=True)
+                dist = jnp.abs(w - pred_d)
+                tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
+                                ((127 - dist) << 9) | (511 - coli), -1)
+                row_tie = jnp.max(tie, axis=1, keepdims=True)
+                row_brel = 511 - (row_tie & 511)
+                sf = row_lmax >= msl
+                packed_rows = jnp.where(
+                    hit,
+                    (di << 23)
+                    + jnp.where(anch_col > 0, 1 << 22, 0)
+                    + jnp.where(sf, (1 << 21) + (row_lmax << 15)
+                                + (row_brel << 6), 0),
+                    BIG)
+
                 # loop over possibly-spurious anchor-only positions
                 def try_at(carry):
                     d0, done, out_state = carry
-                    dd = jnp.min(jnp.where(hit & (di >= d0), di, BIG))
+                    pk = jnp.min(jnp.where(di >= d0, packed_rows, BIG))
 
                     def none_left(_):
                         st = no_event(None)
                         return (jnp.int32(BIG), jnp.bool_(True), st)
 
                     def attempt(_):
-                        # seed best in row dd
-                        rowmask = (rowi == dd) & valid
-                        Sm = jnp.where(rowmask, S, -1)
-                        lmax = jnp.max(Sm)
-                        dist = jnp.abs(w - (pred + dd))
-                        tie = jnp.where((Sm == lmax) & (lmax >= 0),
-                                        ((127 - dist) << 9) | (511 - coli),
-                                        -1)
-                        tbest = jnp.max(tie)
-                        brel = 511 - (tbest & 511)
-                        s_found = lmax >= msl
+                        dd = pk >> 23
+                        has_anch = ((pk >> 22) & 1) > 0
+                        s_found = ((pk >> 21) & 1) > 0
+                        lmax = (pk >> 15) & 63
+                        brel = (pk >> 6) & 511
                         s_pos = b0 + brel
 
                         # escalate capped seed lengths to exact: only
@@ -479,6 +507,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         # them in ascending column order (preserves the
                         # smallest-position-on-tie rule) via masked-min.
                         def escalate(args):
+                            rowmask = (rowi == dd) & valid
                             capped_col = jnp.where(rowmask & (S == CAP),
                                                    coli, BIG)
 
@@ -512,7 +541,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                             lambda a: a, (lmax, s_pos))
 
                         a_len, a_pos = jax.lax.cond(
-                            jnp.max(jnp.where((di == dd), anch_col, 0)) > 0,
+                            has_anch,
                             lambda _: resolve_anchor(i + dd),
                             lambda _: (jnp.int32(0), jnp.int32(0)), None)
 
@@ -553,10 +582,10 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
                         return pick(None)
 
-                    return jax.lax.cond(dd == BIG, none_left, attempt,
+                    return jax.lax.cond(pk == BIG, none_left, attempt,
                                         None)
 
-                init = (d_ev, jnp.bool_(False), state)
+                init = (jnp.int32(0), jnp.bool_(False), state)
                 _, _, out = jax.lax.while_loop(lambda c: ~c[1], try_at,
                                                init)
                 return out
@@ -648,15 +677,18 @@ class PallasRefIndex:
         wf = np.zeros((1, _pad128(win.size) + 128), np.int32)
         wf[0, :win.size] = win.reshape(-1)
         self.WinP = wf.shape[1]
+        cm = build_const_mat(cfg.aw, cfg.ar)
         self.device = device
         if interpret:
             self.refbuf, self.poslist, self.win_flat = buf, pl_arr, wf
+            self.cmat = cm
         else:  # device-resident, uploaded once
             with jax.enable_x64(False):
                 self.refbuf = jax.device_put(buf, device)
                 self.poslist = (jax.device_put(pl_arr, device)
                                 if pl_arr is not None else None)
                 self.win_flat = jax.device_put(wf, device)
+                self.cmat = jax.device_put(cm, device)
 
     def _prep_query_np(self, q_codes: np.ndarray, LqP: int):
         cfg = self.cfg
@@ -676,13 +708,11 @@ class PallasRefIndex:
         # next anchor-candidate position >= i (suffix scan, vectorized)
         idxs = np.where(hit, np.arange(dsz), dsz)
         nh = np.minimum.accumulate(idxs[::-1])[::-1].astype(np.int32)
-        cand_lo = np.zeros(LqP, np.int32)
-        cand_cnt = np.zeros(LqP, np.int32)
+        cand = np.zeros(LqP, np.int32)
         next_hit = np.full(LqP, dsz, np.int32)
-        cand_lo[:dsz] = lo
-        cand_cnt[:dsz] = cnt
+        cand[:dsz] = (lo << 7) | cnt       # packed (start, count)
         next_hit[:dsz] = nh
-        return qbuf, cand_lo, cand_cnt, next_hit, dsz
+        return qbuf, cand, next_hit, dsz
 
     def parse_events_batch(self, queries: list) -> list:
         """Run the kernel over a query batch (one dispatch). Returns a list
@@ -694,8 +724,7 @@ class PallasRefIndex:
         LqP = _bucket(max_dsz + 1024)
         EvL = self.MAXEV * 8
         qb = np.zeros((B, LqP), np.int32)
-        clo = np.zeros((B, LqP), np.int32)
-        ccn = np.zeros((B, LqP), np.int32)
+        cd = np.zeros((B, LqP), np.int32)
         nh = np.zeros((B, LqP), np.int32)
         scal = np.zeros((B, 128), np.int32)
         skip = [False] * B
@@ -707,20 +736,20 @@ class PallasRefIndex:
                 scal[b, 0] = cfg.msl  # dsz small -> kernel no-ops
                 scal[b, 1] = self.nr
                 continue
-            qb[b], clo[b], ccn[b], nh[b], dsz = prep
+            qb[b], cd[b], nh[b], dsz = prep
             scal[b, 0] = dsz
             scal[b, 1] = self.nr
 
         run = _get_batch_runner(cfg, self.LrP, LqP, self.KaP, self.WinP,
                                 EvL, B, self.interpret)
         with jax.enable_x64(False):
-            perq = (scal[:, None, :], qb[:, None, :], clo[:, None, :],
-                    ccn[:, None, :], nh[:, None, :])
+            perq = (scal[:, None, :], qb[:, None, :], cd[:, None, :],
+                    nh[:, None, :])
             if self.device is not None:
                 perq = tuple(jax.device_put(a, self.device) for a in perq)
-            scal3, qb3, clo3, ccn3, nh3 = perq
-            ev, nev = run(scal3, self.refbuf, qb3, self.poslist, clo3,
-                          ccn3, nh3, self.win_flat)
+            scal3, qb3, cd3, nh3 = perq
+            ev, nev = run(scal3, self.refbuf, qb3, self.poslist, cd3,
+                          nh3, self.win_flat, self.cmat)
             nev_h = np.asarray(nev)[:, 0, 0]
             ev_h = np.asarray(ev)[:, 0, :]  # (B, EvL)
         out = []
@@ -749,7 +778,7 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     perq = lambda b: (b, 0, 0)
 
     @jax.jit
-    def run(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win):
+    def run(scal, refbuf, qbuf, poslist, cand, next_hit, win, cmat):
         # per-query arrays are (B, 1, X); the squeezed (None) batch dim
         # keeps in-kernel refs 2D (1, X), matching the load helpers
         return pl.pallas_call(
@@ -767,16 +796,15 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((None, 1, LqP), perq,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 1, LqP), perq,
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 512), shared, memory_space=pltpu.VMEM),
             ],
             out_specs=(pl.BlockSpec((None, 1, EvL), perq,
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((None, 1, 1), perq,
                                     memory_space=pltpu.SMEM)),
             interpret=interpret,
-        )(scal, refbuf, qbuf, poslist, cand_lo, cand_cnt, next_hit, win)
+        )(scal, refbuf, qbuf, poslist, cand, next_hit, win, cmat)
 
     return run
 
@@ -858,7 +886,10 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 with rf_lock:
                     rec.tofile(rf)
 
-    eng = PallasAll2All(codes, params, interpret=interpret)
+    if devices is None:
+        devices = jax.devices()[:1]
+    eng = PallasAll2All(codes, params, devices=devices,
+                        interpret=interpret)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
@@ -912,10 +943,13 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             if progress is not None:
                 progress(done_pairs, total_pairs)
 
-        for u in units:
-            handles = eng.dispatch_range(u[0], u[1])
+        # depth-2 pipeline per device: every chip keeps one unit in flight
+        # while the previous one drains (P1 fan-out, lz_matcher.cpp:184-270)
+        depth = 2 * len(eng.devices)
+        for k, u in enumerate(units):
+            handles = eng.dispatch_range(u[0], u[1], eng.device_for(k))
             inflight.append((u, handles))
-            if len(inflight) > 1:
+            if len(inflight) >= depth:
                 drain(*inflight.pop(0))
         while inflight:
             drain(*inflight.pop(0))
@@ -977,7 +1011,7 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     perq = lambda b: (b, 0, 0)
 
     @jax.jit
-    def step(refbuf, Qfull, QKMfull, lo_row, dsz, scal, win):
+    def step(refbuf, Qfull, QKMfull, lo_row, dsz, scal, win, cmat):
         # --- join build (per reference) -----------------------------------
         km = dev_kmer_stream(refbuf, mal)[0]
         pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
@@ -987,6 +1021,11 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         count = count[:nk]
         start = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+        # packed (start << 7 | count) table: ONE gather per query feeds the
+        # kernel's anchor probes (count clamped at 127; the overflow gate
+        # below fires first at cnt_cap < 127)
+        ptab = jnp.where(count > 0,
+                         (start << 7) | jnp.minimum(count, 127), 0)
         poslist = pos_s[:KaP].reshape(1, KaP) if KaP <= LrP else (
             jnp.zeros((1, KaP), jnp.int32).at[0, :LrP].set(pos_s))
         # --- query prep ---------------------------------------------------
@@ -995,8 +1034,8 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         qkm = jax.lax.dynamic_slice(
             QKMfull, (lo_row, 0), (B, QKMfull.shape[1]))
         qk = jnp.where(qkm >= 0, qkm, 0)
-        cnt = jnp.where(qkm >= 0, count[qk], 0)
-        lo = jnp.where(cnt > 0, start[qk], 0)
+        pk = jnp.where(qkm >= 0, ptab[qk], 0)
+        cnt = pk & 127
         overflow = jnp.max(cnt, axis=1) > cnt_cap
         idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
         limit = (dsz - msl)[:, None]
@@ -1004,8 +1043,7 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         nh_src = jnp.where(hit, idx, dsz[:, None])
         nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 1), axis=1), 1)
         mask = idx < dsz[:, None]
-        clo = jnp.where(mask, lo, 0)
-        ccn = jnp.where(mask, cnt, 0)
+        cd = jnp.where(mask, pk, 0)
         nhm = jnp.where(mask, nh, dsz[:, None])
         # --- kernel -------------------------------------------------------
         ev, nev = pl.pallas_call(
@@ -1023,9 +1061,8 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((None, 1, LqP), perq,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 1, LqP), perq,
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 512), shared, memory_space=pltpu.VMEM),
             ],
             out_specs=(pl.BlockSpec((None, 1, EvL), perq,
                                     memory_space=pltpu.VMEM),
@@ -1033,48 +1070,72 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                                     memory_space=pltpu.SMEM)),
             interpret=interpret,
         )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
-          clo[:, None, :], ccn[:, None, :], nhm[:, None, :], win)
-        return ev[:, 0, :], nev[:, 0, 0], overflow
+          cd[:, None, :], nhm[:, None, :], win, cmat)
+        ev2 = ev[:, 0, :]
+        if LqP <= (1 << 16):
+            # all of {i_ev, blen, bwd, ext} < dsz < 2^16: pack each record
+            # into 3 int32 on device — the tunnel/host link moves 2.7x
+            # fewer bytes per batch (bpos needs the full 32 bits)
+            evr = ev2.reshape(B, EvL // 8, 8)
+            p0 = evr[..., 0] | (evr[..., 2] << 16)
+            p2 = evr[..., 3] | (evr[..., 4] << 16)
+            ev2 = jnp.stack([p0, evr[..., 1], p2],
+                            axis=-1).reshape(B, (EvL // 8) * 3)
+        return ev2, nev[:, 0, 0], overflow
 
     return step
 
 
 class PallasAll2All:
-    """v2 all-vs-all driver: single query upload, on-device prep, one
-    kernel dispatch per reference."""
+    """v2 all-vs-all driver: single query upload per device, on-device
+    prep, one kernel dispatch per (reference, query-range) unit. Units are
+    independent (the P1 row-parallelism of lz_matcher.cpp:184-270), so a
+    multi-chip host round-robins them over `devices` — each device holds
+    its own query-matrix replica and receives the per-ref index."""
 
     CNT_CAP = 112
 
     def __init__(self, codes, params, devices=None, interpret=False):
-        # devices: reserved for per-ref round-robin across a mesh (the
-        # work units are independent; wire-up lands with multi-chip runs)
         self.codes = codes
         self.params = params
         self.interpret = interpret
         self.cfg = ParseCfg.from_params(params)
         cfg = self.cfg
         n = len(codes)
+        self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         self.LqP = _bucket(int(self.dszs.max()) + 1024)
+        self.packed_ev = self.LqP <= (1 << 16)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         n_pad = -(-n // self.B) * self.B
         qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.int32)
         for i, c in enumerate(codes):
             qb[i, :self.dszs[i]] = query_buffer_np(c, cfg.mrd)
         self.n_pad = n_pad
+        kms = jax.jit(partial(dev_kmer_stream, k=cfg.mal))
         with jax.enable_x64(False):
-            self.Q = jax.device_put(qb)
-            self.QKM = jax.jit(partial(dev_kmer_stream, k=cfg.mal))(self.Q)
+            self.Q = {}
+            self.QKM = {}
+            for d in self.devices:
+                q_d = jax.device_put(qb, d)
+                self.Q[d] = q_d
+                self.QKM[d] = kms(q_d)
 
     EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
 
-    def dispatch_range(self, r: int, lo: int):
+    def device_for(self, k: int):
+        """Device owning work unit k (round-robin)."""
+        return self.devices[k % len(self.devices)]
+
+    def dispatch_range(self, r: int, lo: int, device=None):
         """Submit one fused dispatch (join + prep + kernel) for queries
-        [lo, lo+B) against reference r; returns device futures."""
+        [lo, lo+B) against reference r on `device`; returns futures."""
         cfg = self.cfg
         p = self.params
+        if device is None:
+            device = self.devices[0]
         idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret,
-                             host_join=False)
+                             host_join=False, device=device)
         B = self.B
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
@@ -1086,23 +1147,37 @@ class PallasAll2All:
             scal = np.zeros((B, 128), np.int32)
             scal[:, 0] = dsz_np
             scal[:, 1] = idx.nr
-            ev, nev, overflow = step(idx.refbuf, self.Q, self.QKM,
-                                     jnp.int32(lo), jnp.asarray(dsz_np),
-                                     scal, idx.win_flat)
+            lo_d = jax.device_put(np.int32(lo), device)
+            dsz_d = jax.device_put(dsz_np, device)
+            scal_d = jax.device_put(scal, device)
+            ev, nev, overflow = step(idx.refbuf, self.Q[device],
+                                     self.QKM[device], lo_d, dsz_d,
+                                     scal_d, idx.win_flat, idx.cmat)
         return ev, nev, overflow
 
     def collect(self, handles):
         """Download results of a dispatch_range call -> event-log list."""
         ev, nev, overflow = handles
+        stride = 3 if self.packed_ev else 8
         with jax.enable_x64(False):
             nev_h, ovf = jax.device_get((nev, overflow))
-            mx = _pad128(max(int(nev_h.max(initial=0)), 16) * 8)
+            mx = max(int(nev_h.max(initial=0)), 16) * stride
             ev_h = np.asarray(ev[:, :mx])
         out = []
         for b in range(self.B):
             n_ev = int(nev_h[b])
             if ovf[b] or n_ev < 0 or n_ev > self.EV_CAP:
                 out.append(None)
+                continue
+            if self.packed_ev:
+                u = ev_h[b, :n_ev * 3].view(np.uint32).reshape(n_ev, 3)
+                rec = np.zeros((n_ev, 8), np.int32)
+                rec[:, 0] = u[:, 0] & 0xFFFF
+                rec[:, 2] = u[:, 0] >> 16
+                rec[:, 1] = u[:, 1].view(np.int32)  # bpos: full 32 bits
+                rec[:, 3] = u[:, 2] & 0xFFFF
+                rec[:, 4] = u[:, 2] >> 16
+                out.append(rec)
             else:
                 out.append(ev_h[b, :n_ev * 8].reshape(n_ev, 8))
         return out

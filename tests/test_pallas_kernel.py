@@ -55,9 +55,10 @@ def test_kernel_batch_and_fallback():
         assert np.array_equal(ne.parse_event_log(ref, q, p), ev)
 
 
-def test_all2all_pallas_interpret_with_devices():
-    """Device round-robin structure (interpret mode ignores placement but
-    exercises the code path); result must equal the native engine."""
+def test_all2all_pallas_multidevice_roundrobin():
+    """Real multi-device distribution: units round-robin over the virtual
+    CPU devices, per-unit buffers live on the unit's device, and the
+    merged result equals the native engine."""
     import jax
 
     from lzani_tpu.ops import pallas_engine as pe
@@ -71,10 +72,28 @@ def test_all2all_pallas_interpret_with_devices():
         s[:: (i + 5)] = (s[:: (i + 5)] + 1) % 4
         codes.append(s[: 400 - 11 * i])
 
-    out = pe.all2all_pallas(codes, p, devices=jax.devices()[:2],
-                            interpret=True)
+    devs = jax.devices()[:2]
+    assert len(devs) == 2, "conftest must provide the 8-device CPU mesh"
+
+    out = pe.all2all_pallas(codes, p, devices=devs, interpret=True)
     want = ne.all2all(codes, p)
     assert np.array_equal(out, want)
+
+    # placement: the engine replicates the query matrix per device and
+    # pins each unit's dispatch to its round-robin device
+    eng = pe.PallasAll2All(codes, p, devices=devs, interpret=True)
+    assert set(eng.Q.keys()) == set(devs)
+    for k in range(4):
+        assert eng.device_for(k) == devs[k % 2]
+    for k, dev in enumerate(devs):
+        ev, nev, ovf = eng.dispatch_range(k, 0, dev)
+        assert ev.devices() == {dev}, (ev.devices(), dev)
+        assert nev.devices() == {dev}
+    # cross-device results agree with the oracle event logs
+    evs0 = eng.collect(eng.dispatch_range(0, 0, devs[0]))
+    evs1 = eng.collect(eng.dispatch_range(1, 0, devs[1]))
+    assert np.array_equal(evs0[1], ne.parse_event_log(codes[0], codes[1], p))
+    assert np.array_equal(evs1[0], ne.parse_event_log(codes[1], codes[0], p))
 
 
 def test_kernel_nondefault_params():
