@@ -4,9 +4,11 @@ Reference parity: the reservoir's three-in-byte packing and the
 `seq_view` positional codec (/root/reference/src/seq_reservoir.h:30-186,
 seq_reservoir.cpp:22-58). The reference packs to cut the resident set of
 large genome collections by 3x and unpacks per pair in the hot loop; here
-the packed form is a storage option on the host store (the device engines
-take flat code arrays), so pack/unpack are bulk numpy transforms rather
-than a positional accessor.
+the same radix-216 layout is the DEVICE transfer/storage codec: the
+production driver ships the query matrix and each reference's composite
+buffer in this form (ops/pallas_engine.pack3_rows) and expands to int32
+on device per dispatch (dev_unpack3), so device-resident bytes/symbol
+match the reference's 1/3 B density and tunnel uploads shrink 3x.
 
 Codes are 0..5 (A,C,G,T, N_ref, N_seq — defs.h:24-30); byte value is
 c0*36 + c1*6 + c2, trailing slots padded with 0 and resolved by the

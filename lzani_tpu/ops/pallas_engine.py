@@ -23,7 +23,7 @@ All device compute is int32/int8/f32 — no x64 anywhere in the kernel.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +126,44 @@ def diag_lce(E, cap, ri, ci):
 
 def lane_iota(n):
     return jax.lax.broadcasted_iota(I32, (1, n), 1)
+
+
+def pack3_rows(codes: np.ndarray) -> np.ndarray:
+    """(R, L) uint8 codes (values 0..5) -> (R, ceil(L/3)) radix-216 bytes,
+    the io/packing.py three-in-byte layout (reference seq_reservoir.h
+    3-per-byte density) applied row-wise. Used to cut host->device
+    transfer and device-resident bytes to 1/3 B per symbol; the engines
+    expand to int32 on device per dispatch (transient scratch)."""
+    R, L = codes.shape
+    Lp = -(-L // 3)
+    c = np.zeros((R, Lp * 3), np.uint16)
+    c[:, :L] = codes
+    c = c.reshape(R, Lp, 3)
+    return (c[:, :, 0] * 36 + c[:, :, 1] * 6 + c[:, :, 2]).astype(np.uint8)
+
+
+def dev_unpack3(packed, L):
+    """(R, Lp) radix-216 bytes -> (R, L) int32 codes on device."""
+    p = packed.astype(jnp.int32)
+    d0 = p // 36
+    d1 = (p // 6) % 6
+    d2 = p % 6
+    out = jnp.stack([d0, d1, d2], axis=-1).reshape(p.shape[0], -1)
+    return out[:, :L]
+
+
+def pack_bits_i32(bits: np.ndarray, pad_words: int) -> np.ndarray:
+    """0/1 array -> (1, W) int32 bit-words (little-endian within a word),
+    W padded to `pad_words` multiples of 128. The WIN arbitration table
+    ships as bits (32x fewer upload bytes per reference)."""
+    b = np.asarray(bits, np.uint8).reshape(-1)
+    n_words = -(-len(b) // 32)
+    W = -(-max(n_words, 1) // pad_words) * pad_words
+    padded = np.zeros(W * 32, np.uint8)
+    padded[:len(b)] = b
+    words = (padded.reshape(W, 32).astype(np.uint32)
+             << np.arange(32, dtype=np.uint32)).sum(1, dtype=np.uint32)
+    return words.view(np.int32).reshape(1, W)
 
 
 def build_const_mat(aw: int, ar: int) -> np.ndarray:
@@ -552,7 +590,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                 slc = jnp.minimum(s_len, SAT) - msl
                                 lr_ev = lit_run + dd
                                 widx = (alc * NS + slc) * NL + lr_ev
-                                return vext(win, widx) > 0
+                                # WIN table is bit-packed (32 entries/word)
+                                word = vext(win, widx >> 5)
+                                return ((word >> (widx & 31)) & 1) > 0
 
                             take_a = jax.lax.cond(
                                 a_pos != 0,
@@ -674,17 +714,28 @@ class PallasRefIndex:
             self.KaP = _bucket(self.nr + 256, lo=1024)
             pl_arr = None
         win = build_win_table(self.nr, cfg.mal, cfg.msl, cfg.mrd, cfg.mqd)
-        wf = np.zeros((1, _pad128(win.size) + 128), np.int32)
-        wf[0, :win.size] = win.reshape(-1)
+        wf = pack_bits_i32(win.reshape(-1), 128)  # bit-packed (1, W) i32
         self.WinP = wf.shape[1]
         cm = build_const_mat(cfg.aw, cfg.ar)
+        # three-in-byte transfer form of the composite buffer (C5 codec —
+        # io/packing.py layout): the v2 driver ships THIS per reference
+        # and expands on device; the int32 form feeds the v1/kernel path.
+        rbp = pack3_rows(buf.astype(np.uint8))
+        self.LrP3 = _pad128(rbp.shape[1])
+        rbp_padded = np.zeros((1, self.LrP3), np.uint8)
+        rbp_padded[:, :rbp.shape[1]] = rbp
         self.device = device
         if interpret:
             self.refbuf, self.poslist, self.win_flat = buf, pl_arr, wf
             self.cmat = cm
+            self.refbuf_p = rbp_padded
         else:  # device-resident, uploaded once
             with jax.enable_x64(False):
-                self.refbuf = jax.device_put(buf, device)
+                if host_join:  # v1 path keeps the int32 buffer resident
+                    self.refbuf = jax.device_put(buf, device)
+                else:
+                    self.refbuf = None
+                self.refbuf_p = jax.device_put(rbp_padded, device)
                 self.poslist = (jax.device_put(pl_arr, device)
                                 if pl_arr is not None else None)
                 self.win_flat = jax.device_put(wf, device)
@@ -1011,7 +1062,9 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     perq = lambda b: (b, 0, 0)
 
     @jax.jit
-    def step(refbuf, Qfull, QKMfull, lo_row, dsz, scal, win, cmat):
+    def step(refbuf_p, Qpacked, lo_row, dsz, scal, win, cmat):
+        # --- expand the three-in-byte transfer forms (C5 codec) -----------
+        refbuf = dev_unpack3(refbuf_p, LrP)
         # --- join build (per reference) -----------------------------------
         km = dev_kmer_stream(refbuf, mal)[0]
         pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
@@ -1029,10 +1082,12 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         poslist = pos_s[:KaP].reshape(1, KaP) if KaP <= LrP else (
             jnp.zeros((1, KaP), jnp.int32).at[0, :LrP].set(pos_s))
         # --- query prep ---------------------------------------------------
-        qsel = jax.lax.dynamic_slice(
-            Qfull, (lo_row, 0), (B, Qfull.shape[1]))
-        qkm = jax.lax.dynamic_slice(
-            QKMfull, (lo_row, 0), (B, QKMfull.shape[1]))
+        # the resident query matrix is 3-codes-per-byte; expand the B-row
+        # slice and rebuild its kmer stream per dispatch (transient int32)
+        qsel_p = jax.lax.dynamic_slice(
+            Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
+        qsel = dev_unpack3(qsel_p, LqP)
+        qkm = dev_kmer_stream(qsel, mal)
         qk = jnp.where(qkm >= 0, qkm, 0)
         pk = jnp.where(qkm >= 0, ptab[qk], 0)
         cnt = pk & 127
@@ -1108,18 +1163,20 @@ class PallasAll2All:
         self.packed_ev = self.LqP <= (1 << 16)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         n_pad = -(-n // self.B) * self.B
-        qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.int32)
+        qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.uint8)
         for i, c in enumerate(codes):
             qb[i, :self.dszs[i]] = query_buffer_np(c, cfg.mrd)
         self.n_pad = n_pad
-        kms = jax.jit(partial(dev_kmer_stream, k=cfg.mal))
+        # device-resident query matrix at the reference's 3-codes-per-byte
+        # density (seq_reservoir.h:30-186 parity via io/packing.py layout);
+        # dispatches expand their B-row slice to int32 transiently
+        qp = pack3_rows(qb)
+        Lp = _pad128(qp.shape[1])
+        qp_padded = np.zeros((n_pad, Lp), np.uint8)
+        qp_padded[:, :qp.shape[1]] = qp
         with jax.enable_x64(False):
-            self.Q = {}
-            self.QKM = {}
-            for d in self.devices:
-                q_d = jax.device_put(qb, d)
-                self.Q[d] = q_d
-                self.QKM[d] = kms(q_d)
+            self.Q = {d: jax.device_put(qp_padded, d)
+                      for d in self.devices}
 
     EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
 
@@ -1150,9 +1207,9 @@ class PallasAll2All:
             lo_d = jax.device_put(np.int32(lo), device)
             dsz_d = jax.device_put(dsz_np, device)
             scal_d = jax.device_put(scal, device)
-            ev, nev, overflow = step(idx.refbuf, self.Q[device],
-                                     self.QKM[device], lo_d, dsz_d,
-                                     scal_d, idx.win_flat, idx.cmat)
+            ev, nev, overflow = step(idx.refbuf_p, self.Q[device],
+                                     lo_d, dsz_d, scal_d, idx.win_flat,
+                                     idx.cmat)
         return ev, nev, overflow
 
     def collect(self, handles):
