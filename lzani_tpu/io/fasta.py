@@ -53,6 +53,29 @@ def _open_bin(path: str):
     return open(path, "rb")
 
 
+def _record_spans(data: bytes):
+    """Yield (header_start, header_line_end, body_end) for each '>' record.
+    A '>' opens a header only at the start of a line (matching the
+    reference's per-line first-char test)."""
+    n = len(data)
+    pos = 0
+    # find the first header: '>' at offset 0 or right after a newline
+    if data[:1] == b">":
+        start = 0
+    else:
+        p = data.find(b"\n>")
+        start = -1 if p < 0 else p + 1
+    while start >= 0:
+        hdr_end = data.find(b"\n", start)
+        if hdr_end < 0:
+            yield start, n, n
+            return
+        p = data.find(b"\n>", hdr_end)
+        body_end = n if p < 0 else p + 1
+        yield start, hdr_end, body_end
+        start = -1 if p < 0 else p + 1
+
+
 def _cut_at_space(name: str) -> str:
     p = name.find(" ")
     return name if p < 0 else name[:p]
@@ -79,46 +102,47 @@ class SequenceStore:
         self.no_parts.append(1)
 
     def load_multifasta(self, paths: list[str]) -> None:
-        """One item per '>' record, named by its header."""
+        """One item per '>' record, named by its header. Bulk parser: one
+        Python iteration per RECORD, not per line (whole-file read, header
+        scan via bytes.find, newline strip via bytes.translate) — the
+        line loop the reference affords in C++ (seq_reservoir.cpp:156-212)
+        would dominate ingest at the 10k-genome scale in Python."""
         for path in paths:
-            name = None
-            chunks: list[bytes] = []
             with _open_bin(path) as fh:
-                for line in fh:
-                    line = line.rstrip(b"\r\n")
-                    if not line:
-                        continue
-                    if line[0] == 0x3E:  # '>'
-                        if name:
-                            self.add(name, encode_dna(b"".join(chunks)))
-                        name = line[1:].decode("latin-1")
-                        chunks = []
-                    else:
-                        chunks.append(line)
-            if name:
-                self.add(name, encode_dna(b"".join(chunks)))
+                data = fh.read()
+            for start, hdr_end, body_end in _record_spans(data):
+                name = data[start + 1:hdr_end].rstrip(b"\r").decode("latin-1")
+                if not name:
+                    continue  # reference: empty header never stored
+                body = data[hdr_end:body_end].translate(None, b"\r\n")
+                self.add(name, encode_dna(body))
 
     def load_fasta_per_file(self, paths: list[str], sep_len: int) -> None:
-        """One item per FILE; contigs joined with ``sep_len`` N-separators."""
+        """One item per FILE; contigs joined with ``sep_len`` N-separators.
+        Mirrors the reference exactly: a separator is appended on each '>'
+        line whenever the accumulated sequence is non-empty
+        (seq_reservoir.cpp:112-130), so empty records between non-empty
+        ones still produce separators."""
         sep = b"\x00" * sep_len  # NUL codes to 5 (CODE_N_SEQ) like any non-ACGT
         for path in paths:
-            # mirror the reference exactly: a separator is appended on each '>'
-            # line whenever the accumulated sequence is non-empty
-            # (seq_reservoir.cpp:112-130)
+            with _open_bin(path) as fh:
+                data = fh.read()
             chunks: list[bytes] = []
             total = 0
-            with _open_bin(path) as fh:
-                for line in fh:
-                    line = line.rstrip(b"\r\n")
-                    if not line:
-                        continue
-                    if line[0] == 0x3E:  # '>'
-                        if total:
-                            chunks.append(sep)
-                            total += sep_len
-                    else:
-                        chunks.append(line)
-                        total += len(line)
+            spans = list(_record_spans(data))
+            # lines before the first header are sequence (reference parity)
+            pre_end = spans[0][0] if spans else len(data)
+            pre = data[:pre_end].translate(None, b"\r\n")
+            if pre:
+                chunks.append(pre)
+                total += len(pre)
+            for start, hdr_end, body_end in spans:
+                if total:
+                    chunks.append(sep)
+                    total += sep_len
+                body = data[hdr_end:body_end].translate(None, b"\r\n")
+                chunks.append(body)
+                total += len(body)
             self.add(os.path.basename(path), encode_dna(b"".join(chunks)))
 
     def reorder(self) -> np.ndarray:

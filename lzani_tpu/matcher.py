@@ -18,6 +18,28 @@ from .output import (ResultMatrix, alignment_lines, derive_ids_path,
 from .params import Params
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA/Mosaic compiles across CLI processes (the reference
+    binary has zero warm-up; without this every ``--backend pallas`` run
+    re-pays the per-shape-bucket kernel compiles). Cache dir override:
+    LZANI_TPU_CACHE; disable with LZANI_TPU_CACHE=0."""
+    loc = os.environ.get("LZANI_TPU_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache", "lzani_tpu",
+                           "jax_cache")
+    try:
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 class Matcher:
     def __init__(self, params: Params):
         self.params = params
@@ -124,6 +146,7 @@ class Matcher:
                     stop.set()
                     mon.join()
         elif backend == "pallas":
+            _enable_compile_cache()
             from .ops.pallas_engine import all2all_pallas
             prog_cb = None
             if p.verbosity_level >= 2:
@@ -140,6 +163,7 @@ class Matcher:
                                      region_path=region_path,
                                      progress=prog_cb)
         elif backend == "jax":
+            _enable_compile_cache()
             import jax as _jax
             if _jax.default_backend() not in ("cpu",):
                 max_len = max((len(c) for c in self.store.codes), default=0)
