@@ -867,7 +867,7 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
-                   interpret: bool = False):
+                   interpret: bool = False, kpair: int | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -940,7 +940,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     if devices is None:
         devices = jax.devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
-                        interpret=interpret)
+                        interpret=interpret, kpair=kpair)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
@@ -1049,12 +1049,20 @@ def dev_kmer_stream(buf, k, n_sym=4):
 
 @lru_cache(maxsize=32)
 def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
-                  B: int, cnt_cap: int, ev_cap: int, interpret: bool):
+                  B: int, cnt_cap: int, ev_cap: int, interpret: bool,
+                  kpair: int = 1):
     """One fused jit per (shape bucket): device join build + query prep +
     the pallas kernel + download-size reduction — a single dispatch per
-    reference batch."""
+    reference batch.  kpair > 1 selects the v4 lockstep kernel
+    (ops/pallas_v4.py): K queries interleaved per kernel program, grid
+    B/K — amortizing per-step fixed costs across pairs."""
     EvL = PallasRefIndex.MAXEV * 8
-    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+    if kpair > 1:
+        from .pallas_v4 import make_parse_kernel_k
+        assert B % kpair == 0, (B, kpair)
+        kern = make_parse_kernel_k(cfg, LrP, LqP, KaP, WinP, EvL, kpair)
+    else:
+        kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
     mal, msl = cfg.mal, cfg.msl
     nk = 1 << (2 * mal)
 
@@ -1101,32 +1109,69 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         cd = jnp.where(mask, pk, 0)
         nhm = jnp.where(mask, nh, dsz[:, None])
         # --- kernel -------------------------------------------------------
-        ev, nev = pl.pallas_call(
-            kern,
-            grid=(B,),
-            out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
-                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
-            in_specs=[
-                pl.BlockSpec((None, 1, 128), perq, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 1, LqP), perq,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 1, LqP), perq,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 1, LqP), perq,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 512), shared, memory_space=pltpu.VMEM),
-            ],
-            out_specs=(pl.BlockSpec((None, 1, EvL), perq,
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((None, 1, 1), perq,
-                                    memory_space=pltpu.SMEM)),
-            interpret=interpret,
-        )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
-          cd[:, None, :], nhm[:, None, :], win, cmat)
-        ev2 = ev[:, 0, :]
+        if kpair > 1:
+            perk = lambda b: (b, 0)
+            ev, nev = pl.pallas_call(
+                kern,
+                grid=(B // kpair,),
+                out_shape=(jax.ShapeDtypeStruct((B, EvL), jnp.int32),
+                           jax.ShapeDtypeStruct((B, 1), jnp.int32)),
+                in_specs=[
+                    pl.BlockSpec((kpair, 128), perk,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, LrP), shared,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kpair, LqP), perk,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, KaP), shared,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kpair, LqP), perk,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kpair, LqP), perk,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, WinP), shared,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((128, 512), shared,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((kpair, EvL), perk,
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((kpair, 1), perk,
+                                        memory_space=pltpu.SMEM)),
+                interpret=interpret,
+            )(scal, refbuf, qsel, poslist, cd, nhm, win, cmat)
+            ev2 = ev
+            nev_flat = nev[:, 0]
+        else:
+            ev, nev = pl.pallas_call(
+                kern,
+                grid=(B,),
+                out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
+                           jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+                in_specs=[
+                    pl.BlockSpec((None, 1, 128), perq,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, 1, LqP), perq,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, 1, LqP), perq,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, 1, LqP), perq,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((128, 512), shared,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((None, 1, EvL), perq,
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((None, 1, 1), perq,
+                                        memory_space=pltpu.SMEM)),
+                interpret=interpret,
+            )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
+              cd[:, None, :], nhm[:, None, :], win, cmat)
+            ev2 = ev[:, 0, :]
+            nev_flat = nev[:, 0, 0]
         if LqP <= (1 << 16):
             # all of {i_ev, blen, bwd, ext} < dsz < 2^16: pack each record
             # into 3 int32 on device — the tunnel/host link moves 2.7x
@@ -1136,7 +1181,7 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
             p2 = evr[..., 3] | (evr[..., 4] << 16)
             ev2 = jnp.stack([p0, evr[..., 1], p2],
                             axis=-1).reshape(B, (EvL // 8) * 3)
-        return ev2, nev[:, 0, 0], overflow
+        return ev2, nev_flat, overflow
 
     return step
 
@@ -1150,18 +1195,25 @@ class PallasAll2All:
 
     CNT_CAP = 112
 
-    def __init__(self, codes, params, devices=None, interpret=False):
+    #: queries interleaved per kernel program (v4 lockstep kernel when >1)
+    KPAIR = 1
+
+    def __init__(self, codes, params, devices=None, interpret=False,
+                 kpair: int | None = None):
         self.codes = codes
         self.params = params
         self.interpret = interpret
         self.cfg = ParseCfg.from_params(params)
         cfg = self.cfg
         n = len(codes)
+        self.kpair = self.KPAIR if kpair is None else kpair
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         self.LqP = _bucket(int(self.dszs.max()) + 1024)
         self.packed_ev = self.LqP <= (1 << 16)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
+        if self.kpair > 1:
+            self.B = max(self.B, self.kpair)    # grid needs B % K == 0
         n_pad = -(-n // self.B) * self.B
         qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.uint8)
         for i, c in enumerate(codes):
@@ -1197,7 +1249,7 @@ class PallasAll2All:
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
                                  B, self.CNT_CAP, self.EV_CAP,
-                                 self.interpret)
+                                 self.interpret, self.kpair)
             dsz_np = np.array([self.dszs[q] if q < len(self.codes)
                                else cfg.msl for q in range(lo, lo + B)],
                               np.int32)

@@ -99,6 +99,58 @@ def make(variant):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.int32)
                 acc = acc + jnp.sum(jnp.max(W2, axis=1, keepdims=True))
+            elif kind == "hankel":
+                # diagonal-layout superstep: per-pair Hankel band (80,128)
+                # built by ONE crossbar gather from repeated rows; runs go
+                # along LANES (lane rolls only); reduction is per-lane.
+                offs = ((t * 7 + acc % 4) % (LQ - 400))
+                # per-pair window rows (K,256) via unrolled loads
+                for j in range(K):
+                    p = offs + j * 5
+                    base = (p // 128) * 128
+                    blk = q_ref[j:j + 1,
+                                pl.ds(pl.multiple_of(base, 128), 256 + 128)]
+                    r = pltpu.roll(blk, 384 - (p - base), 1)
+                    scratch[3][j:j + 1, :] = r[0:1, :256]
+                src = pltpu.repeat(scratch[3][:, :], QROWS, axis=0)
+                ri80 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+                ci80 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+                idx = (ri80 % QROWS) + ci80
+                rbc = jnp.take_along_axis(src, idx, axis=1)
+                qrow = q_ref[0:K, 0:128]
+                qbig = pltpu.repeat(qrow, QROWS, axis=0)
+                E = (qbig == rbc).astype(jnp.int32)
+                A = E
+                for stp in (1, 2, 3):
+                    A2 = pltpu.roll(A, 128 - stp, 1)
+                    A = A * jnp.where(ci80 < 128 - stp, A2, 0)
+                geo = (ci80 < 41) & ((ri80 % QROWS) < 80)
+                Am = jnp.where(geo, A, 0)
+                m1 = jnp.max(Am, axis=0, keepdims=True)  # per-lane any
+                acc = acc + jnp.sum(m1) + rbc[0, 0]
+            elif kind == "repeat":
+                # pltpu.repeat cost on (K,256) -> (K*80,256)
+                src = pltpu.repeat(scratch[3][:, :] + acc % 3, QROWS, axis=0)
+                acc = acc + src[0, 0] + src[R - 1, 1]
+            elif kind == "extb":
+                # batched ext_scan chunk: K rows, one MXU window contraction
+                offs = ((t * 7 + acc % 4) % (LQ - 400))
+                for j in range(K):
+                    p = offs + j * 3
+                    base = (p // 128) * 128
+                    blk = q_ref[j:j + 1,
+                                pl.ds(pl.multiple_of(base, 128), 256)]
+                    scratch[1][j:j + 1, 0:128] = (
+                        pltpu.roll(blk, 256 - (p - base), 1)[0:1, :128])
+                m = (scratch[1][0:K, 0:128] > 2).astype(jnp.float32)
+                W2 = jax.lax.dot_general(
+                    m, scratch[2][:, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                io = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
+                ok = (W2 == 0) & (io < 200)
+                last = jnp.max(jnp.where(ok, io, 0), axis=1, keepdims=True)
+                acc = acc + jnp.sum(last)
             elif kind == "carry":
                 # big unrolled scalar carry (K pairs x 8 scalars) loop cost
                 tot = jnp.int32(0)
@@ -114,6 +166,7 @@ def make(variant):
         pltpu.VMEM((R, RCOLS), jnp.int32),
         pltpu.VMEM((max(K, 8), RCOLS), jnp.int32),
         pltpu.VMEM((128, 256), jnp.float32),
+        pltpu.VMEM((max(K, 8), 256), jnp.int32),
     ]
 
     @jax.jit
