@@ -1111,9 +1111,17 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         # --- kernel -------------------------------------------------------
         if kpair > 1:
             perk = lambda b: (b, 0)
+            RS = kpair * QROWS
             ev, nev = pl.pallas_call(
                 kern,
                 grid=(B // kpair,),
+                scratch_shapes=[
+                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # EALL
+                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # GEOALL (+anchor)
+                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # DISTALL
+                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # SALL
+                    pltpu.VMEM((RS, 128), jnp.int32),    # PCK
+                ],
                 out_shape=(jax.ShapeDtypeStruct((B, EvL), jnp.int32),
                            jax.ShapeDtypeStruct((B, 1), jnp.int32)),
                 in_specs=[

@@ -104,11 +104,53 @@ def _diag_lce(E, cap, ri, ci):
 # kernel factory
 # ---------------------------------------------------------------------------
 
+def _dshift_blk(M, step, rloc, ci):
+    """Diagonal shift with PAIR-BLOCK edge masks: out[r, c] =
+    M[r+step, c+step] where the shift stays inside the pair's QROWS-row
+    block (rloc = r % QROWS). Matches v3's matrix-edge mask semantics per
+    pair exactly."""
+    R, C = M.shape
+    M2 = pltpu.roll(pltpu.roll(M, R - step, 0), C - step, 1)
+    return jnp.where((rloc < QROWS - step) & (ci < C - step), M2, 0)
+
+
+def _run_detect_blk(E, m, rloc, ci):
+    A = E
+    P = 1
+    while P * 2 <= m:
+        A = A * _dshift_blk(A, P, rloc, ci)
+        P *= 2
+    if m > P:
+        A = A * _dshift_blk(A, m - P, rloc, ci)
+    return A
+
+
+def _diag_lce_blk(E, cap, rloc, ci):
+    S = E
+    step = 1
+    while step < cap:
+        R, C = E.shape
+        M2 = pltpu.roll(pltpu.roll(S, R - step, 0), C - step, 1)
+        take = (S == step) & (rloc < QROWS - step) & (ci < C - step)
+        S = S + jnp.where(take, M2, 0)
+        step *= 2
+    return S
+
+
 def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         WinP: int, EvL: int, K: int):
-    """K-pair lockstep kernel. Blocks: scal (K,128) SMEM; qbuf/cand/nh
-    (K,LqP) VMEM; shared refbuf/poslist/win/cmat; out ev (K,EvL),
-    nev (K,1)."""
+    """K-pair lockstep kernel with batched band phases.
+
+    Per macro-iteration: phase A builds each active synced pair's band
+    inputs (E / geo / dist, per-pair loads) into stacked (K*QROWS, RCOLS)
+    scratch; phase B runs ONE seed pre-test + capped diag-LCE + tie-break
+    packing over the whole stack (per-op overhead amortized across K
+    pairs, pair-block edge masks replicating v3's per-matrix masks);
+    phase C resolves events per pair (spurious walk, escalation, anchor
+    probes, WIN arbitration, extensions) exactly as v3.
+
+    Blocks: scal (K,128) SMEM; qbuf/cand/nh (K,LqP) VMEM; shared
+    refbuf/poslist/win/cmat; out ev (K,EvL), nev (K,1)."""
     MAXEV = EvL // 128 * 16
     mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
     reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
@@ -116,11 +158,12 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     W = mqd + mrd
     NL = mqd + 1
     NS = SAT - msl + 1
+    RS = K * QROWS
     assert D - 1 + CAP <= QROWS
     assert W - 1 + CAP <= RCOLS - 50
 
     def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
-               ev_out, nev_out):
+               ev_out, nev_out, EALL, GEOALL, DISTALL, SALL, PCK):
 
         nr = scal_ref[0, 1]
 
@@ -320,36 +363,14 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             return jax.lax.cond(j >= dsz - msl, to_end, at_candidate, None)
 
-        def sync_step(k, dsz, state):
+        def sync_resolve(k, dsz, D_eff, b0, state):
+            """Phase-C event resolution for a synced pair: v3's try_at
+            walk reading its slice of the batched PCK/SALL/GEOALL."""
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
              ne, pend, n_ss, n_ds) = state
-            n_ss = n_ss + 1
-            D_dyn = mqd - lit_run + 1
-            D_eff = jnp.minimum(D_dyn, (dsz - msl) - i)
-            lo0 = pred - lit_run
-            b0 = jnp.maximum(lo0, 0)
-
-            qrow = align_load_r(qbuf, k, i, 128)
-            rrow = align_load_r(refbuf, 0, b0, RCOLS)
-            qcol = _to_col(qrow, cmat[:, 0:128])[:QROWS]
-            E = (qcol == rrow).astype(I32)
-
-            rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
-            coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
-            w = b0 + coli
-            pred_d = pred + rowi
-            geo = (rowi < D_eff) & (coli < W + rowi) & (w < pred_d + mrd)
-
-            A = _run_detect(E, msl, rowi, coli)
-            seed_any_m = jnp.max(jnp.where(geo & (A > 0), 1, 0), axis=1,
-                                 keepdims=True)
-
-            cvec = align_load_r(cand, k, i, 128)
-            anch_row = (cvec > 0).astype(I32)
-            anch_col = _to_col(anch_row, cmat[:, 0:128])[:QROWS]
+            lo, hi = k * QROWS, (k + 1) * QROWS
             di = jax.lax.broadcasted_iota(I32, (QROWS, 1), 0)
-            hit = ((seed_any_m > 0) | (anch_col > 0)) & (di < D_eff)
-            d_ev = jnp.min(jnp.where(hit, di, BIG))
+            pck_col = jnp.min(PCK[lo:hi, :], axis=1, keepdims=True)
 
             def no_event(_):
                 adv = D_eff
@@ -359,136 +380,110 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         new_lr, reg_lo, reg_hi, top_lit, lit_below, ne,
                         pend, n_ss, n_ds)
 
-            def with_event(_):
-                S = _diag_lce(E, CAP, rowi, coli)
-                valid = geo & (S >= msl)
-                Sv = jnp.where(valid, S, -1)
-                row_lmax = jnp.max(Sv, axis=1, keepdims=True)
-                dist = jnp.abs(w - pred_d)
-                tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
-                                ((127 - dist) << 9) | (511 - coli), -1)
-                row_tie = jnp.max(tie, axis=1, keepdims=True)
-                row_brel = 511 - (row_tie & 511)
-                sf = row_lmax >= msl
-                packed_rows = jnp.where(
-                    hit,
-                    (di << 23)
-                    + jnp.where(anch_col > 0, 1 << 22, 0)
-                    + jnp.where(sf, (1 << 21) + (row_lmax << 15)
-                                + (row_brel << 6), 0),
-                    BIG)
+            def try_at(carry):
+                d0, done, out_state = carry
+                pk = jnp.min(jnp.where(di >= d0, pck_col, BIG))
 
-                def try_at(carry):
-                    d0, done, out_state = carry
-                    pk = jnp.min(jnp.where(di >= d0, packed_rows, BIG))
+                def none_left(_):
+                    st = no_event(None)
+                    return (jnp.int32(BIG), jnp.bool_(True), st)
 
-                    def none_left(_):
-                        st = no_event(None)
-                        return (jnp.int32(BIG), jnp.bool_(True), st)
+                def attempt(_):
+                    dd = pk >> 23
+                    has_anch = ((pk >> 22) & 1) > 0
+                    s_found = ((pk >> 21) & 1) > 0
+                    lmax = (pk >> 15) & 63
+                    brel = (pk >> 6) & 511
+                    s_pos = b0 + brel
 
-                    def attempt(_):
-                        dd = pk >> 23
-                        has_anch = ((pk >> 22) & 1) > 0
-                        s_found = ((pk >> 21) & 1) > 0
-                        lmax = (pk >> 15) & 63
-                        brel = (pk >> 6) & 511
-                        s_pos = b0 + brel
+                    def escalate(args):
+                        rowi = jax.lax.broadcasted_iota(
+                            I32, (QROWS, RCOLS), 0)
+                        coli = jax.lax.broadcasted_iota(
+                            I32, (QROWS, RCOLS), 1)
+                        Sl = SALL[lo:hi, :]
+                        vl = ((GEOALL[lo:hi, :] & 1) > 0) & (Sl >= msl)
+                        capped_col = jnp.where(
+                            (rowi == dd) & vl & (Sl == CAP), coli, BIG)
 
-                        def escalate(args):
-                            rowmask = (rowi == dd) & valid
-                            capped_col = jnp.where(rowmask & (S == CAP),
-                                                   coli, BIG)
+                        def nxt(c0):
+                            return jnp.min(
+                                jnp.where(capped_col >= c0, capped_col,
+                                          BIG))
 
-                            def nxt(c0):
-                                return jnp.min(
-                                    jnp.where(capped_col >= c0,
-                                              capped_col, BIG))
+                        def contest(st):
+                            c, blen, bpos, bdist = st
+                            p = b0 + c
+                            ml = exact_lce(
+                                k, i + dd, p,
+                                jnp.minimum(nr - p, dsz - (i + dd)))
+                            dst = jnp.abs(p - (pred + dd))
+                            better = (ml > blen) | (
+                                (ml == blen) & (dst < bdist))
+                            return (nxt(c + 1),
+                                    jnp.where(better, ml, blen),
+                                    jnp.where(better, p, bpos),
+                                    jnp.where(better, dst, bdist))
 
-                            def contest(st):
-                                c, blen, bpos, bdist = st
-                                p = b0 + c
-                                ml = exact_lce(
-                                    k, i + dd, p,
-                                    jnp.minimum(nr - p, dsz - (i + dd)))
-                                dst = jnp.abs(p - (pred + dd))
-                                better = (ml > blen) | (
-                                    (ml == blen) & (dst < bdist))
-                                return (nxt(c + 1),
-                                        jnp.where(better, ml, blen),
-                                        jnp.where(better, p, bpos),
-                                        jnp.where(better, dst, bdist))
+                        c0 = nxt(jnp.int32(0))
+                        _, blen, bpos, _ = jax.lax.while_loop(
+                            lambda st: st[0] != BIG, contest,
+                            (c0, jnp.int32(0), jnp.int32(0),
+                             jnp.int32(BIG)))
+                        return blen, bpos
 
-                            c0 = nxt(jnp.int32(0))
-                            _, blen, bpos, _ = jax.lax.while_loop(
-                                lambda st: st[0] != BIG, contest,
-                                (c0, jnp.int32(0), jnp.int32(0),
-                                 jnp.int32(BIG)))
-                            return blen, bpos
+                    s_len, s_pos = jax.lax.cond(
+                        (lmax == CAP) & s_found, escalate,
+                        lambda a: a, (lmax, s_pos))
 
-                        s_len, s_pos = jax.lax.cond(
-                            (lmax == CAP) & s_found, escalate,
-                            lambda a: a, (lmax, s_pos))
+                    a_len, a_pos = jax.lax.cond(
+                        has_anch,
+                        lambda _: resolve_anchor(k, dsz, i + dd),
+                        lambda _: (jnp.int32(0), jnp.int32(0)), None)
 
-                        a_len, a_pos = jax.lax.cond(
-                            has_anch,
-                            lambda _: resolve_anchor(k, dsz, i + dd),
-                            lambda _: (jnp.int32(0), jnp.int32(0)), None)
+                    def pick(_):
+                        def arb(_):
+                            alc = jnp.minimum(a_len, SAT) - mal
+                            slc = jnp.minimum(s_len, SAT) - msl
+                            lr_ev = lit_run + dd
+                            widx = (alc * NS + slc) * NL + lr_ev
+                            word = vext_r(win, 0, widx >> 5)
+                            return ((word >> (widx & 31)) & 1) > 0
 
-                        def pick(_):
-                            def arb(_):
-                                alc = jnp.minimum(a_len, SAT) - mal
-                                slc = jnp.minimum(s_len, SAT) - msl
-                                lr_ev = lit_run + dd
-                                widx = (alc * NS + slc) * NL + lr_ev
-                                word = vext_r(win, 0, widx >> 5)
-                                return ((word >> (widx & 31)) & 1) > 0
+                        take_a = jax.lax.cond(
+                            a_pos != 0,
+                            lambda _: jax.lax.cond(
+                                s_found & (s_pos != 0), arb,
+                                lambda _: jnp.bool_(True), None),
+                            lambda _: jnp.bool_(False), None)
+                        take_a = take_a & (a_pos != 0)
+                        use_seed = s_found & ~take_a
+                        bl = jnp.where(take_a, a_len, s_len)
+                        bp = jnp.where(take_a, a_pos, s_pos)
+                        good = take_a | use_seed
 
-                            take_a = jax.lax.cond(
-                                a_pos != 0,
-                                lambda _: jax.lax.cond(
-                                    s_found & (s_pos != 0), arb,
-                                    lambda _: jnp.bool_(True), None),
-                                lambda _: jnp.bool_(False), None)
-                            take_a = take_a & (a_pos != 0)
-                            use_seed = s_found & ~take_a
-                            bl = jnp.where(take_a, a_len, s_len)
-                            bp = jnp.where(take_a, a_pos, s_pos)
-                            good = take_a | use_seed
+                        def apply(_):
+                            st2 = (i, pred, lit_run, reg_lo, reg_hi,
+                                   top_lit, lit_below, ne, pend,
+                                   n_ss, n_ds)
+                            return (jnp.int32(BIG), jnp.bool_(True),
+                                    apply_match(k, dsz, st2, i + dd,
+                                                bp, bl))
 
-                            def apply(_):
-                                st2 = (i, pred, lit_run, reg_lo, reg_hi,
-                                       top_lit, lit_below, ne, pend,
-                                       n_ss, n_ds)
-                                return (jnp.int32(BIG), jnp.bool_(True),
-                                        apply_match(k, dsz, st2, i + dd,
-                                                    bp, bl))
+                        def spurious(_):
+                            return (dd + 1, jnp.bool_(False), out_state)
 
-                            def spurious(_):
-                                return (dd + 1, jnp.bool_(False),
-                                        out_state)
+                        return jax.lax.cond(good, apply, spurious, None)
 
-                            return jax.lax.cond(good, apply, spurious,
-                                                None)
+                    return pick(None)
 
-                        return pick(None)
+                return jax.lax.cond(pk == BIG, none_left, attempt, None)
 
-                    return jax.lax.cond(pk == BIG, none_left, attempt,
-                                        None)
-
-                init = (jnp.int32(0), jnp.bool_(False), state)
-                _, _, out = jax.lax.while_loop(lambda c: ~c[1], try_at,
-                                               init)
-                return out
-
-            return jax.lax.cond(d_ev == BIG, no_event, with_event, None)
+            init = (jnp.int32(0), jnp.bool_(False), state)
+            _, _, out = jax.lax.while_loop(lambda c: ~c[1], try_at, init)
+            return out
 
         # ---------------- lockstep main loop --------------------------------
-
-        def pair_step(k, dsz, state):
-            return jax.lax.cond(state[1] >= 0,
-                                lambda st: sync_step(k, dsz, st),
-                                lambda st: desync_step(k, dsz, st),
-                                state)
 
         def init_state(k):
             dsz = scal_ref[k, 0]
@@ -507,14 +502,105 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 a = a | active(k, states[k])
             return a
 
+        riB = jax.lax.broadcasted_iota(I32, (RS, RCOLS), 0)
+        ciB = jax.lax.broadcasted_iota(I32, (RS, RCOLS), 1)
+        rlocB = riB % QROWS
+        rlocC = jax.lax.broadcasted_iota(I32, (RS, 1), 0) % QROWS
+
         def macro_body(states):
+            # ---- phase A: per-pair band inputs into stacked scratch ----
+            cache = []
+            for k in range(K):
+                st = states[k]
+                i, pred, lit_run = st[0], st[1], st[2]
+                dsz = scal_ref[k, 0]
+                act = active(k, st)
+                syncp = act & (pred >= 0)
+                D_eff = jnp.minimum(mqd - lit_run + 1, (dsz - msl) - i)
+                b0 = jnp.maximum(pred - lit_run, 0)
+                i_ld = jnp.clip(i, 0, LqP - 384)
+                b0_ld = jnp.clip(b0, 0, LrP - RCOLS - 256)
+                cache.append((dsz, act, syncp, D_eff, b0))
+
+                @pl.when(syncp)
+                def _(k=k, i_ld=i_ld, b0_ld=b0_ld, pred=pred, b0=b0,
+                      D_eff=D_eff):
+                    qrow = align_load_r(qbuf, k, i_ld, 128)
+                    rrow = align_load_r(refbuf, 0, b0_ld, RCOLS)
+                    qcol = _to_col(qrow, cmat[:, 0:128])[:QROWS]
+                    E = (qcol == rrow).astype(I32)
+                    rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
+                    coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
+                    w = b0 + coli
+                    pred_d = pred + rowi
+                    geo = ((rowi < D_eff) & (coli < W + rowi)
+                           & (w < pred_d + mrd))
+                    dist = jnp.minimum(jnp.abs(w - pred_d), 127)
+                    cvec = align_load_r(cand, k, i_ld, 128)
+                    anch_col = _to_col((cvec > 0).astype(I32),
+                                       cmat[:, 0:128])[:QROWS]
+                    lo, hi = k * QROWS, (k + 1) * QROWS
+                    EALL[lo:hi, :] = E
+                    # bit0 = geo, bit1 = anchor-at-row (broadcast to cols)
+                    GEOALL[lo:hi, :] = (geo.astype(I32)
+                                        + 2 * (anch_col > 0).astype(I32))
+                    DISTALL[lo:hi, :] = dist
+
+                @pl.when(~syncp)
+                def _(k=k):
+                    # stale rows must not produce hits for this pair
+                    lo, hi = k * QROWS, (k + 1) * QROWS
+                    GEOALL[lo:hi, :] = jnp.zeros((QROWS, RCOLS), I32)
+
+            # ---- phase B: ONE batched detect + LCE + tie-break pack ----
+            E = EALL[:, :]
+            GE = GEOALL[:, :]
+            geo1 = (GE & 1) > 0
+            A = _run_detect_blk(E, msl, rlocB, ciB)
+            seedrow = jnp.max(jnp.where(geo1 & (A > 0), 1, 0), axis=1,
+                              keepdims=True)
+            anchrow = jnp.max(GE >> 1, axis=1, keepdims=True)
+            rowvalid = jnp.max(jnp.where(geo1, 1, 0), axis=1,
+                               keepdims=True)
+            hitrow = ((seedrow > 0) | (anchrow > 0)) & (rowvalid > 0)
+            S = _diag_lce_blk(E, CAP, rlocB, ciB)
+            SALL[:, :] = S
+            valid = geo1 & (S >= msl)
+            Sv = jnp.where(valid, S, -1)
+            row_lmax = jnp.max(Sv, axis=1, keepdims=True)
+            tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
+                            ((127 - DISTALL[:, :]) << 9) | (511 - ciB),
+                            -1)
+            row_tie = jnp.max(tie, axis=1, keepdims=True)
+            row_brel = 511 - (row_tie & 511)
+            sf = row_lmax >= msl
+            packed = jnp.where(
+                hitrow,
+                (rlocC << 23) + jnp.where(anchrow > 0, 1 << 22, 0)
+                + jnp.where(sf, (1 << 21) + (row_lmax << 15)
+                            + (row_brel << 6), 0),
+                BIG)
+            PCK[:, :] = jnp.broadcast_to(packed, (RS, 128))
+
+            # ---- phase C: per-pair resolution --------------------------
             out = []
             for k in range(K):
-                dsz = scal_ref[k, 0]
+                dsz, act, syncp, D_eff, b0 = cache[k]
                 st = states[k]
+
+                def sync_branch(s, k=k, dsz=dsz, D_eff=D_eff, b0=b0):
+                    s = (s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
+                         s[8], s[9] + 1, s[10])  # n_ss
+                    return sync_resolve(k, dsz, D_eff, b0, s)
+
+                def desync_branch(s, k=k, dsz=dsz):
+                    return desync_step(k, dsz, s)
+
                 st2 = jax.lax.cond(
-                    active(k, st),
-                    lambda s, k=k, dsz=dsz: pair_step(k, dsz, s),
+                    act,
+                    lambda s, k=k: jax.lax.cond(
+                        s[1] >= 0,
+                        sync_branch, desync_branch, s),
                     lambda s: s, st)
                 out.append(st2)
             return tuple(out)
