@@ -238,32 +238,32 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         total = jnp.minimum(cap, max_len)
         CE = 128
 
-        def body(st):
-            base, run0, tail, last_v, done = st
-            nv = jnp.minimum(total - base, CE)
-
+        def load_miss(base):
             if forward:
                 qb = align_load(qref, dpos + base, CE)
                 rb = align_load(rref, rpos + base, CE)
-                miss = (qb != rb).astype(I32)   # lane j -> e = base + j
-            else:
-                # e = base + j needs q[dpos-1-base-j]; load the ascending
-                # blocks ending at dpos-base / rpos-base, reverse lanes,
-                # then roll so that lane j lines up with e = base + j.
-                # When fewer than CE symbols remain before the buffer
-                # start, shift both loads consistently by `sh`.
-                sq = dpos - base - CE
-                sr = rpos - base - CE
-                sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
-                qb = align_load(qref, sq + sh, CE)
-                rb = align_load(rref, sr + sh, CE)
-                m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
-                mr = reverse_lanes(m0, cmat[:, 128:256])
-                miss = pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
-                # lanes j >= CE - sh wrapped around; they are beyond the
-                # positional cap (total <= min(dpos, rpos) <= base+CE-sh)
-                # and get masked by nv below.
+                return (qb != rb).astype(I32)   # lane j -> e = base + j
+            # e = base + j needs q[dpos-1-base-j]; load the ascending
+            # blocks ending at dpos-base / rpos-base, reverse lanes,
+            # then roll so that lane j lines up with e = base + j.
+            # When fewer than CE symbols remain before the buffer
+            # start, shift both loads consistently by `sh`.
+            sq = dpos - base - CE
+            sr = rpos - base - CE
+            sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
+            qb = align_load(qref, sq + sh, CE)
+            rb = align_load(rref, sr + sh, CE)
+            m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
+            mr = reverse_lanes(m0, cmat[:, 128:256])
+            # lanes j >= CE - sh wrapped around; they are beyond the
+            # positional cap (total <= min(dpos, rpos) <= base+CE-sh)
+            # and get masked by nv in the caller.
+            return pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
 
+        def body(st):
+            base, run0, tail, last_v, done = st
+            nv = jnp.minimum(total - base, CE)
+            miss = load_miss(base)
             io = lane_iota(CE)
             valid = io < nv
             m_eff = jnp.where(valid, miss, 0)
@@ -315,15 +315,36 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             ntail = jnp.where(io <= aw - 2, ntail, 0)
             return base + CE, run_end, ntail, last_v, done
 
-        init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
-                jnp.zeros((1, CE), I32), jnp.bool_(False))
+        # Fast pre-test on the first chunk: ~79% of extensions are 0 on
+        # real pairs (no ar-run of matches anywhere and the first aw
+        # window already exceeds am mismatches => the scan must stop with
+        # last = 0). z below is exactly ok-minus-the-fs-constraint for the
+        # first chunk (run0 = ar virtual prefix), so the test is
+        # conservative: the full scan runs whenever an ok is possible.
+        nv0 = jnp.minimum(total, CE)
+        miss0 = load_miss(jnp.int32(0))
+        io0 = lane_iota(CE)
+        valid0 = io0 < nv0
+        m0v = jnp.where(valid0, miss0, 0)
+        z = valid0 & (m0v == 0)
+        for t in range(1, max(ar, 1)):
+            z = z & ((io0 < t) | (pltpu.roll(m0v, t, 1) == 0))
+        any_ok = jnp.max(jnp.where(z, 1, 0))
+        firstw = jnp.sum(jnp.where(io0 < aw, m0v, 0))
+        fast0 = (any_ok == 0) & ((firstw > am) | (nv0 < CE))
 
-        def cond(st):
-            base, _, _, _, done = st
-            return (~done) & (base < total)
+        def slow(_):
+            init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
+                    jnp.zeros((1, CE), I32), jnp.bool_(False))
 
-        _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
-        return jnp.max(last_v)
+            def cond(st):
+                base, _, _, _, done = st
+                return (~done) & (base < total)
+
+            _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
+            return jnp.max(last_v)
+
+        return jax.lax.cond(fast0, lambda _: jnp.int32(0), slow, None)
 
     # ---------------- the kernel itself ------------------------------------
 
@@ -680,6 +701,23 @@ def _bucket(n, lo=4096):
     return b
 
 
+_CMAT_CACHE: dict = {}
+
+
+def _get_cmat_dev(aw: int, ar: int, device):
+    """The (128, 512) constant matrix block is identical for every
+    reference — upload it once per device, not once per ref (256 KB per
+    upload through the tunnel otherwise dominates per-ref setup)."""
+    key = (aw, ar, id(device))
+    hit = _CMAT_CACHE.get(key)
+    if hit is None:
+        cm = build_const_mat(aw, ar)
+        with jax.enable_x64(False):
+            hit = jax.device_put(cm, device)
+        _CMAT_CACHE[key] = hit
+    return hit
+
+
 class PallasRefIndex:
     """Per-reference state for the event-log kernel.
 
@@ -739,7 +777,7 @@ class PallasRefIndex:
                 self.poslist = (jax.device_put(pl_arr, device)
                                 if pl_arr is not None else None)
                 self.win_flat = jax.device_put(wf, device)
-                self.cmat = jax.device_put(cm, device)
+                self.cmat = _get_cmat_dev(cfg.aw, cfg.ar, device)
 
     def _prep_query_np(self, q_codes: np.ndarray, LqP: int):
         cfg = self.cfg
@@ -995,10 +1033,42 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 progress(done_pairs, total_pairs)
 
         # depth-2 pipeline per device: every chip keeps one unit in flight
-        # while the previous one drains (P1 fan-out, lz_matcher.cpp:184-270)
+        # while the previous one drains (P1 fan-out, lz_matcher.cpp:184-270).
+        # Reference indexes (win-table math + uploads) are prefetched on
+        # the worker pool so index construction overlaps device compute;
+        # consecutive units against the same reference share one index.
         depth = 2 * len(eng.devices)
+        PREFETCH = depth + 1
+        idx_cache: dict = {}
+        cache_lock = threading.Lock()
+
+        def get_index(r, dev):
+            key = (r, id(dev))
+            with cache_lock:
+                hit = idx_cache.get(key)
+            if hit is None:
+                hit = eng.build_index(r, dev)
+                with cache_lock:
+                    idx_cache[key] = hit
+            return hit
+
+        idx_futs: dict = {}
+
+        def ensure_prefetch(k0):
+            for j in range(k0, min(k0 + PREFETCH, len(units))):
+                if j not in idx_futs:
+                    idx_futs[j] = pool.submit(
+                        get_index, units[j][0], eng.device_for(j))
+
         for k, u in enumerate(units):
-            handles = eng.dispatch_range(u[0], u[1], eng.device_for(k))
+            ensure_prefetch(k)
+            idx = idx_futs.pop(k).result()
+            handles = eng.dispatch_range(u[0], u[1], eng.device_for(k),
+                                         idx=idx)
+            # drop stale cache entries (units are ordered by ref)
+            with cache_lock:
+                for key in [ky for ky in idx_cache if ky[0] < u[0]]:
+                    del idx_cache[key]
             inflight.append((u, handles))
             if len(inflight) >= depth:
                 drain(*inflight.pop(0))
@@ -1070,7 +1140,14 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     perq = lambda b: (b, 0, 0)
 
     @jax.jit
-    def step(refbuf_p, Qpacked, lo_row, dsz, scal, win, cmat):
+    def step(refbuf_p, Qpacked, lo_row, nr_s, dszs_full, win, cmat):
+        # per-dispatch scalars/tables derived on device: the query-length
+        # table is resident (uploaded once per run), so a dispatch ships
+        # only (lo, nr) — per-dispatch host->device traffic is O(1)
+        dsz = jax.lax.dynamic_slice(dszs_full, (lo_row,), (B,))
+        scal = (jnp.zeros((B, 128), jnp.int32)
+                .at[:, 0].set(dsz)
+                .at[:, 1].set(nr_s))
         # --- expand the three-in-byte transfer forms (C5 codec) -----------
         refbuf = dev_unpack3(refbuf_p, LrP)
         # --- join build (per reference) -----------------------------------
@@ -1234,9 +1311,15 @@ class PallasAll2All:
         Lp = _pad128(qp.shape[1])
         qp_padded = np.zeros((n_pad, Lp), np.uint8)
         qp_padded[:, :qp.shape[1]] = qp
+        dszs_pad = np.full(n_pad, cfg.msl, np.int32)
+        dszs_pad[:n] = self.dszs
         with jax.enable_x64(False):
             self.Q = {d: jax.device_put(qp_padded, d)
                       for d in self.devices}
+            # query-length table resident per device (dispatches derive
+            # their scal block on device; see _get_ref_step.step)
+            self.DSZ = {d: jax.device_put(dszs_pad, d)
+                        for d in self.devices}
 
     EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
 
@@ -1244,31 +1327,32 @@ class PallasAll2All:
         """Device owning work unit k (round-robin)."""
         return self.devices[k % len(self.devices)]
 
-    def dispatch_range(self, r: int, lo: int, device=None):
+    def build_index(self, r: int, device=None):
+        """Build + upload reference r's device index (host win-table math
+        plus two small uploads). Safe to call from a prefetch thread so
+        index construction overlaps the previous reference's kernel."""
+        if device is None:
+            device = self.devices[0]
+        return PallasRefIndex(self.codes[r], self.params,
+                              interpret=self.interpret,
+                              host_join=False, device=device)
+
+    def dispatch_range(self, r: int, lo: int, device=None, idx=None):
         """Submit one fused dispatch (join + prep + kernel) for queries
         [lo, lo+B) against reference r on `device`; returns futures."""
         cfg = self.cfg
-        p = self.params
         if device is None:
             device = self.devices[0]
-        idx = PallasRefIndex(self.codes[r], p, interpret=self.interpret,
-                             host_join=False, device=device)
+        if idx is None:
+            idx = self.build_index(r, device)
         B = self.B
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
                                  B, self.CNT_CAP, self.EV_CAP,
                                  self.interpret, self.kpair)
-            dsz_np = np.array([self.dszs[q] if q < len(self.codes)
-                               else cfg.msl for q in range(lo, lo + B)],
-                              np.int32)
-            scal = np.zeros((B, 128), np.int32)
-            scal[:, 0] = dsz_np
-            scal[:, 1] = idx.nr
-            lo_d = jax.device_put(np.int32(lo), device)
-            dsz_d = jax.device_put(dsz_np, device)
-            scal_d = jax.device_put(scal, device)
             ev, nev, overflow = step(idx.refbuf_p, self.Q[device],
-                                     lo_d, dsz_d, scal_d, idx.win_flat,
+                                     np.int32(lo), np.int32(idx.nr),
+                                     self.DSZ[device], idx.win_flat,
                                      idx.cmat)
         return ev, nev, overflow
 

@@ -191,23 +191,24 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             total = jnp.minimum(cap, max_len)
             CE = 128
 
-            def body(st):
-                base, run0, tail, last_v, done = st
-                nv = jnp.minimum(total - base, CE)
+            def load_miss(base):
                 if forward:
                     qb = align_load_r(qbuf, k, dpos + base, CE)
                     rb = align_load_r(refbuf, 0, rpos + base, CE)
-                    miss = (qb != rb).astype(I32)
-                else:
-                    sq = dpos - base - CE
-                    sr = rpos - base - CE
-                    sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
-                    qb = align_load_r(qbuf, k, sq + sh, CE)
-                    rb = align_load_r(refbuf, 0, sr + sh, CE)
-                    m0 = (qb != rb).astype(I32)
-                    mr = _reverse_lanes(m0, cmat[:, 128:256])
-                    miss = pltpu.roll(mr, CE - sh, 1)
+                    return (qb != rb).astype(I32)
+                sq = dpos - base - CE
+                sr = rpos - base - CE
+                sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
+                qb = align_load_r(qbuf, k, sq + sh, CE)
+                rb = align_load_r(refbuf, 0, sr + sh, CE)
+                m0 = (qb != rb).astype(I32)
+                mr = _reverse_lanes(m0, cmat[:, 128:256])
+                return pltpu.roll(mr, CE - sh, 1)
 
+            def body(st):
+                base, run0, tail, last_v, done = st
+                nv = jnp.minimum(total - base, CE)
+                miss = load_miss(base)
                 io = lane_iota(CE)
                 valid = io < nv
                 m_eff = jnp.where(valid, miss, 0)
@@ -245,15 +246,32 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 ntail = jnp.where(io <= aw - 2, ntail, 0)
                 return base + CE, run_end, ntail, last_v, done
 
-            init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
-                    jnp.zeros((1, CE), I32), jnp.bool_(False))
+            # fast first-chunk reject (see pallas_engine.ext_scan)
+            nv0 = jnp.minimum(total, CE)
+            miss0 = load_miss(jnp.int32(0))
+            io0 = lane_iota(CE)
+            valid0 = io0 < nv0
+            m0v = jnp.where(valid0, miss0, 0)
+            z = valid0 & (m0v == 0)
+            for t in range(1, max(ar, 1)):
+                z = z & ((io0 < t) | (pltpu.roll(m0v, t, 1) == 0))
+            any_ok = jnp.max(jnp.where(z, 1, 0))
+            firstw = jnp.sum(jnp.where(io0 < aw, m0v, 0))
+            fast0 = (any_ok == 0) & ((firstw > am) | (nv0 < CE))
 
-            def cond(st):
-                base, _, _, _, done = st
-                return (~done) & (base < total)
+            def slow(_):
+                init = (jnp.int32(0), jnp.int32(ar),
+                        jnp.zeros((1, CE), I32),
+                        jnp.zeros((1, CE), I32), jnp.bool_(False))
 
-            _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
-            return jnp.max(last_v)
+                def cond(st):
+                    base, _, _, _, done = st
+                    return (~done) & (base < total)
+
+                _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
+                return jnp.max(last_v)
+
+            return jax.lax.cond(fast0, lambda _: jnp.int32(0), slow, None)
 
         def resolve_anchor(k, dsz, jpos):
             pk = vext_r(cand, k, jpos)
