@@ -315,36 +315,19 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             ntail = jnp.where(io <= aw - 2, ntail, 0)
             return base + CE, run_end, ntail, last_v, done
 
-        # Fast pre-test on the first chunk: ~79% of extensions are 0 on
-        # real pairs (no ar-run of matches anywhere and the first aw
-        # window already exceeds am mismatches => the scan must stop with
-        # last = 0). z below is exactly ok-minus-the-fs-constraint for the
-        # first chunk (run0 = ar virtual prefix), so the test is
-        # conservative: the full scan runs whenever an ok is possible.
-        nv0 = jnp.minimum(total, CE)
-        miss0 = load_miss(jnp.int32(0))
-        io0 = lane_iota(CE)
-        valid0 = io0 < nv0
-        m0v = jnp.where(valid0, miss0, 0)
-        z = valid0 & (m0v == 0)
-        for t in range(1, max(ar, 1)):
-            z = z & ((io0 < t) | (pltpu.roll(m0v, t, 1) == 0))
-        any_ok = jnp.max(jnp.where(z, 1, 0))
-        firstw = jnp.sum(jnp.where(io0 < aw, m0v, 0))
-        fast0 = (any_ok == 0) & ((firstw > am) | (nv0 < CE))
+        # NOTE (measured, round 2): a first-chunk fast-reject pre-test
+        # (~79% of extensions are 0) LOSES ~10% end to end here — its two
+        # scalar reduces + branch cost more than the vector work skipped.
+        # Per-op overhead, not element count, prices this kernel.
+        init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
+                jnp.zeros((1, CE), I32), jnp.bool_(False))
 
-        def slow(_):
-            init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
-                    jnp.zeros((1, CE), I32), jnp.bool_(False))
+        def cond(st):
+            base, _, _, _, done = st
+            return (~done) & (base < total)
 
-            def cond(st):
-                base, _, _, _, done = st
-                return (~done) & (base < total)
-
-            _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
-            return jnp.max(last_v)
-
-        return jax.lax.cond(fast0, lambda _: jnp.int32(0), slow, None)
+        _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
+        return jnp.max(last_v)
 
     # ---------------- the kernel itself ------------------------------------
 
@@ -727,8 +710,12 @@ class PallasRefIndex:
     pallas_call so a whole batch costs one dispatch.
     """
 
-    #: event capacity per query (events beyond fall back to native)
-    MAXEV = 4096
+    #: event capacity per query (events beyond fall back to native).
+    #: 2176 = the driver's EV_CAP download limit (2048) + one spare block
+    #: + the profiling tail block — a larger buffer only cost VMEM and
+    #: per-dispatch zero/copy traffic (events past EV_CAP fall back to
+    #: the native engine regardless).
+    MAXEV = 2176
 
     def __init__(self, codes: np.ndarray, params, interpret: bool = False,
                  device=None, host_join: bool = True):
@@ -1120,7 +1107,7 @@ def dev_kmer_stream(buf, k, n_sym=4):
 @lru_cache(maxsize=32)
 def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                   B: int, cnt_cap: int, ev_cap: int, interpret: bool,
-                  kpair: int = 1):
+                  kpair: int = 1, LqPrep: int | None = None):
     """One fused jit per (shape bucket): device join build + query prep +
     the pallas kernel + download-size reduction — a single dispatch per
     reference batch.  kpair > 1 selects the v4 lockstep kernel
@@ -1168,16 +1155,22 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
             jnp.zeros((1, KaP), jnp.int32).at[0, :LrP].set(pos_s))
         # --- query prep ---------------------------------------------------
         # the resident query matrix is 3-codes-per-byte; expand the B-row
-        # slice and rebuild its kmer stream per dispatch (transient int32)
+        # slice and rebuild its kmer stream per dispatch (transient int32).
+        # Prep runs at LqPrep <= LqP (the tightest 1/2- or 3/4-bucket that
+        # holds every query): the 4M-entry ptab gather + cummin are the
+        # dominant per-dispatch cost and scale with this width; results
+        # are padded back to the kernel's LqP with inert values.
+        Lp = LqPrep or LqP
+        Lp3 = min(-(-Lp // 3) + 128, Qpacked.shape[1])
         qsel_p = jax.lax.dynamic_slice(
             Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
-        qsel = dev_unpack3(qsel_p, LqP)
+        qsel = dev_unpack3(qsel_p[:, :Lp3], Lp)
         qkm = dev_kmer_stream(qsel, mal)
         qk = jnp.where(qkm >= 0, qkm, 0)
         pk = jnp.where(qkm >= 0, ptab[qk], 0)
         cnt = pk & 127
         overflow = jnp.max(cnt, axis=1) > cnt_cap
-        idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
         limit = (dsz - msl)[:, None]
         hit = (cnt > 0) & (idx < limit)
         nh_src = jnp.where(hit, idx, dsz[:, None])
@@ -1185,6 +1178,14 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         mask = idx < dsz[:, None]
         cd = jnp.where(mask, pk, 0)
         nhm = jnp.where(mask, nh, dsz[:, None])
+        if Lp < LqP:
+            pad = LqP - Lp
+            qsel = jnp.concatenate(
+                [qsel, jnp.full((B, pad), SYM_N_SEQ, jnp.int32)], axis=1)
+            cd = jnp.concatenate([cd, jnp.zeros((B, pad), jnp.int32)],
+                                 axis=1)
+            nhm = jnp.concatenate([nhm, jnp.zeros((B, pad), jnp.int32)],
+                                  axis=1)
         # --- kernel -------------------------------------------------------
         if kpair > 1:
             perk = lambda b: (b, 0)
@@ -1295,6 +1296,11 @@ class PallasAll2All:
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         self.LqP = _bucket(int(self.dszs.max()) + 1024)
+        # tightest 1/2- or 3/4-bucket that holds every query + margin:
+        # the per-dispatch prep (ptab gather, cummin) runs at this width
+        need = int(self.dszs.max()) + 1024
+        self.LqPrep = next(w for w in (self.LqP // 2, self.LqP * 3 // 4,
+                                       self.LqP) if w >= need)
         self.packed_ev = self.LqP <= (1 << 16)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
@@ -1349,7 +1355,7 @@ class PallasAll2All:
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
                                  B, self.CNT_CAP, self.EV_CAP,
-                                 self.interpret, self.kpair)
+                                 self.interpret, self.kpair, self.LqPrep)
             ev, nev, overflow = step(idx.refbuf_p, self.Q[device],
                                      np.int32(lo), np.int32(idx.nr),
                                      self.DSZ[device], idx.win_flat,

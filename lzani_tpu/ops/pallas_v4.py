@@ -246,32 +246,15 @@ def make_parse_kernel_k(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 ntail = jnp.where(io <= aw - 2, ntail, 0)
                 return base + CE, run_end, ntail, last_v, done
 
-            # fast first-chunk reject (see pallas_engine.ext_scan)
-            nv0 = jnp.minimum(total, CE)
-            miss0 = load_miss(jnp.int32(0))
-            io0 = lane_iota(CE)
-            valid0 = io0 < nv0
-            m0v = jnp.where(valid0, miss0, 0)
-            z = valid0 & (m0v == 0)
-            for t in range(1, max(ar, 1)):
-                z = z & ((io0 < t) | (pltpu.roll(m0v, t, 1) == 0))
-            any_ok = jnp.max(jnp.where(z, 1, 0))
-            firstw = jnp.sum(jnp.where(io0 < aw, m0v, 0))
-            fast0 = (any_ok == 0) & ((firstw > am) | (nv0 < CE))
+            init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
+                    jnp.zeros((1, CE), I32), jnp.bool_(False))
 
-            def slow(_):
-                init = (jnp.int32(0), jnp.int32(ar),
-                        jnp.zeros((1, CE), I32),
-                        jnp.zeros((1, CE), I32), jnp.bool_(False))
+            def cond(st):
+                base, _, _, _, done = st
+                return (~done) & (base < total)
 
-                def cond(st):
-                    base, _, _, _, done = st
-                    return (~done) & (base < total)
-
-                _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
-                return jnp.max(last_v)
-
-            return jax.lax.cond(fast0, lambda _: jnp.int32(0), slow, None)
+            _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
+            return jnp.max(last_v)
 
         def resolve_anchor(k, dsz, jpos):
             pk = vext_r(cand, k, jpos)

@@ -34,6 +34,21 @@ def mutate(rng, ref, rate, n_ns, indels):
     return q
 
 
+def rand_params(rng):
+    """Random parameter vector over the same ranges the reference-binary
+    differential fuzzer sweeps (mal/msl/mrd/mqd/reg/aw/am/ar)."""
+    p = Params()
+    p.min_seed_len = int(rng.randint(4, 10))
+    p.min_anchor_len = int(rng.randint(p.min_seed_len + 1, 14))
+    p.max_dist_in_ref = int(rng.randint(8, 64))
+    p.max_dist_in_query = int(rng.randint(8, 64))
+    p.min_region_len = int(rng.randint(8, 70))
+    p.approx_window = int(rng.randint(4, 28))
+    p.approx_mismatches = int(rng.randint(1, p.approx_window + 1))
+    p.approx_run_len = int(rng.randint(1, 5))
+    return p
+
+
 def main():
     p = Params()
     rng = np.random.RandomState(SEED)
@@ -52,17 +67,18 @@ def main():
             mid = rng.randint(0, 4, L // 3).astype(np.uint8)
             q = np.concatenate([q[: L // 3], mid, q[-L // 3:]])
 
+        pt = rand_params(rng) if t % 3 == 2 else p
         t0 = time.time()
-        ev_o = ne.parse_event_log(ref, q, p)
-        idx = PallasRefIndex(ref, p, interpret=True)
+        ev_o = ne.parse_event_log(ref, q, pt)
+        idx = PallasRefIndex(ref, pt, interpret=True)
         try:
             ev_k = idx.parse_events(q)
         except AssertionError as e:
             print(f"trial {t}: SKIP ({e})", flush=True)
             continue
         if np.array_equal(ev_o, ev_k):
-            st_o, _ = ne.parse_pair(ref, q, p)
-            st_k, _ = ne.replay_events(ref, q, p, ev_k)
+            st_o, _ = ne.parse_pair(ref, q, pt)
+            st_k, _ = ne.replay_events(ref, q, pt, ev_k)
             okst = st_o == st_k
             print(f"trial {t}: OK L={L} rate={rate} ev={len(ev_o)} "
                   f"stats={'OK' if okst else 'BAD'} ({time.time()-t0:.1f}s)",
@@ -78,6 +94,26 @@ def main():
                   f"oracle={ev_o[k].tolist() if k < len(ev_o) else '-'} "
                   f"kernel={ev_k[k].tolist() if k < len(ev_k) else '-'}",
                   flush=True)
+    # --- v2 driver (on-device prep) + v4 lockstep over random params ----
+    from lzani_tpu.ops.pallas_engine import all2all_pallas
+
+    for t in range(max(N_TRIALS // 4, 3)):
+        pt = rand_params(rng) if t % 2 else Params()
+        L = int(rng.randint(260, 900))
+        base = rng.randint(0, 4, L).astype(np.uint8)
+        codes = [mutate(rng, base, [0.02, 0.1, 0.3][t % 3],
+                        n_ns=t % 3, indels=1 + t % 2)
+                 for _ in range(4)]
+        codes.append(base[: L // 2].copy())
+        want = ne.all2all(codes, pt)
+        for kp, tag in ((1, "v2"), (2, "v4k2"), (4, "v4k4")):
+            got = all2all_pallas(codes, pt, interpret=True, kpair=kp)
+            if np.array_equal(got, want):
+                print(f"driver trial {t} {tag}: OK", flush=True)
+            else:
+                fails += 1
+                print(f"driver trial {t} {tag}: MISMATCH", flush=True)
+
     print("FAILURES:" if fails else "ALL OK:", fails, flush=True)
     return 1 if fails else 0
 
