@@ -71,35 +71,6 @@ def _reverse_lanes(vrow, anti):
     return out.astype(I32)
 
 
-def _run_detect(E, m, ri, ci):
-    A = E
-    P = 1
-    while P * 2 <= m:
-        A = A * _dshift(A, P, ri, ci)
-        P *= 2
-    if m > P:
-        A = A * _dshift(A, m - P, ri, ci)
-    return A
-
-
-def _dshift(M, step, ri, ci):
-    R, C = M.shape
-    M2 = pltpu.roll(pltpu.roll(M, R - step, 0), C - step, 1)
-    return jnp.where((ri < R - step) & (ci < C - step), M2, 0)
-
-
-def _diag_lce(E, cap, ri, ci):
-    S = E
-    step = 1
-    while step < cap:
-        R, C = E.shape
-        M2 = pltpu.roll(pltpu.roll(S, R - step, 0), C - step, 1)
-        take = (S == step) & (ri < R - step) & (ci < C - step)
-        S = S + jnp.where(take, M2, 0)
-        step *= 2
-    return S
-
-
 # ---------------------------------------------------------------------------
 # kernel factory
 # ---------------------------------------------------------------------------
