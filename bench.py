@@ -60,8 +60,11 @@ def reference_binary_rate(n_pairs: int, threads: int) -> float | None:
                 ["bash", os.path.join(REPO, "scripts",
                                       "build_reference_binary.sh")],
                 check=True, capture_output=True, timeout=600)
+        # NB: -V 1, not 0 — the reference crashes at verbosity 0 with no
+        # filter (dangling `if (verbosity_level >= 1)` swallows the
+        # empty-filter-name check, lz_matcher.cpp:31-39)
         cmd = [REF_BIN, "all2all", "--in-dir", VIR61, "--out",
-               "/tmp/bench_ref.tsv", "-t", str(threads), "-V", "0"]
+               "/tmp/bench_ref.tsv", "-t", str(threads), "-V", "1"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
         t0 = time.perf_counter()
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)

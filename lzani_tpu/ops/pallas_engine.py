@@ -963,7 +963,9 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                     rec.tofile(rf)
 
     if devices is None:
-        devices = jax.devices()[:1]
+        # local_devices: in a multi-host launch each process drives its
+        # own chips (jax.devices() would span non-addressable ones)
+        devices = jax.local_devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
                         interpret=interpret, kpair=kpair)
     # enumerate work units (ref, range) and their wanted query slots
