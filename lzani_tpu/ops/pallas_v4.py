@@ -1,13 +1,19 @@
 """v4 event-log kernel: K-pair lockstep interleaving.
 
-The v3 kernel (ops/pallas_engine.py) runs one query per grid step; its
-profile is dominated by per-op Mosaic overhead and per-decision scalar
-syncs, not element counts (ops/DESIGN.md).  v4 packs K queries into ONE
-kernel program advancing in lockstep macro-steps: each macro-iteration
-advances every active pair by one v3-superstep.  Per-pair control flow
-stays exact (each pair's automaton is v3's, branch for branch); the win
-comes from amortizing fixed per-step costs and (increment 2+) batching
-the band/extension phases across the K pairs.
+The v3 kernel (ops/pallas_engine.py) runs one query per grid step.  v4
+packs K queries into ONE kernel program advancing in lockstep
+macro-steps: each macro-iteration advances every active pair by one
+v3-superstep, with the band phases (seed pre-test, capped diag-LCE,
+tie-break pack) batched across the K pairs.  Per-pair control flow stays
+exact (each pair's automaton is v3's, branch for branch).
+
+MEASURED RESULT (round 2, full vir61 warm): K=8 = 143 pairs/s vs 230 for
+v3 — the stacked (K*80, 256) int32 band is element-bound, so batching
+only amortizes minority fixed costs while adding lockstep skew and an
+always-on LCE.  The module stays as the maintained, oracle-exact
+scaffold for a bit-packed band (K pairs sharing one (80,128) bit tile),
+the identified way the stack stops being element-bound; see
+ops/DESIGN.md round-2 notes before investing here.
 
 Exactness contract: identical event streams to the v3 kernel / native
 oracle (tests/test_pallas_v4.py); the emission machinery downstream
