@@ -159,9 +159,13 @@ class Matcher:
                               flush=True)
                         state["last"] = s
 
+            # LZANI_TPU_KPAIR>1 selects the experimental v4 lockstep
+            # kernel (ops/pallas_v4.py; measured slower on vir61 — see
+            # ops/DESIGN.md round-2 notes)
+            kpair = int(os.environ.get("LZANI_TPU_KPAIR", "1"))
             triples = all2all_pallas(self.store.codes, p, filter_csr=csr,
                                      region_path=region_path,
-                                     progress=prog_cb)
+                                     progress=prog_cb, kpair=kpair)
         elif backend == "jax":
             _enable_compile_cache()
             import jax as _jax
