@@ -135,6 +135,65 @@ def test_all2all_pallas_event_overflow_fallback(monkeypatch):
     assert np.array_equal(out, want)
 
 
+def test_all2all_pallas_filter_plus_alignment():
+    """Sparse filter + alignment regions through the device driver in one
+    run: triples AND region dumps must match the native engine."""
+    import os
+    import tempfile
+
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 4, 600).astype(np.uint8)
+    codes = []
+    for i in range(6):
+        s = base.copy()
+        m = rng.rand(600) < 0.05 * (1 + i % 3)
+        s[m] = (s[m] + rng.randint(1, 4, m.sum())) % 4
+        codes.append(s[:600 - 17 * i])
+    rows = [[1, 2, 5], [0, 3], [0], [1], [5], [0, 4]]
+    indptr = np.zeros(7, np.int64)
+    ids = []
+    for r, qs in enumerate(rows):
+        ids.extend(qs)
+        indptr[r + 1] = len(ids)
+    ids = np.array(ids, np.int32)
+    with tempfile.TemporaryDirectory() as td:
+        rp_n = os.path.join(td, "n.regions")
+        rp_p = os.path.join(td, "p.regions")
+        want = ne.all2all(codes, p, filter_csr=(indptr, ids),
+                          region_path=rp_n)
+        got = pe.all2all_pallas(codes, p, filter_csr=(indptr, ids),
+                                region_path=rp_p, interpret=True)
+        assert np.array_equal(want, got)
+        ka = sorted((r, q, tuple(map(tuple, regs)))
+                    for r, q, regs in ne.read_region_dump(rp_n))
+        kb = sorted((r, q, tuple(map(tuple, regs)))
+                    for r, q, regs in ne.read_region_dump(rp_p))
+        assert ka == kb
+
+
+def test_all2all_pallas_vmem_fallback_logged():
+    """References past MAX_REF_SYMS run on the native engine, exactly,
+    with a loud -V>=1 warning (no silent caps)."""
+    import contextlib
+    import io
+
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    rng = np.random.RandomState(8)
+    big = rng.randint(0, 4, 360_000).astype(np.uint8)
+    codes = [big, big[:1500].copy()]
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        got = pe.all2all_pallas(codes, p, interpret=True)
+    want = ne.all2all(codes, p)
+    assert np.array_equal(got, want)
+    assert "exceeds the device VMEM budget" in err.getvalue()
+
+
 def test_all2all_pallas_filter_path():
     """Sparse kmer-db filter CSR through the device driver (interpret)."""
     from lzani_tpu.ops import pallas_engine as pe
