@@ -684,6 +684,112 @@ def _bucket(n, lo=4096):
     return b
 
 
+def _code_salt() -> str:
+    """Hash of the kernel-defining sources: AOT executables must never
+    outlive the code that produced them."""
+    import hashlib
+    import os as _os
+
+    h = hashlib.sha1()
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    for name in ("pallas_engine.py", "pallas_v4.py", "anchor_tables.py",
+                 "parse.py", "prep.py"):
+        try:
+            with open(_os.path.join(base, name), "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
+_AOT_MEMO: dict = {}
+_AOT_SALT = None
+
+
+def _aot_dir():
+    import os as _os
+
+    loc = _os.environ.get("LZANI_TPU_AOT", "")
+    if loc == "0":
+        return None
+    if not loc:
+        loc = _os.path.join(_os.path.expanduser("~"), ".cache",
+                            "lzani_tpu", "aot")
+    try:
+        _os.makedirs(loc, exist_ok=True)
+        return loc
+    except OSError:
+        return None
+
+
+def _run_step_aot(step, key_parts, args):
+    """Run the dispatch step through a persistent ahead-of-time compiled
+    executable cache.
+
+    The reference binary has zero warm-up; here Mosaic kernel compiles
+    cost minutes per shape bucket and (on the axon dev tunnel) BYPASS
+    jax's persistent compilation cache. ``jax.experimental.
+    serialize_executable`` captures the fully compiled executable, so a
+    later process deserializes in milliseconds instead of recompiling.
+    Cache key = kernel-source hash + jax version + backend + the step's
+    configuration + concrete arg shapes. Any failure falls back to the
+    plain jit path (the cache is an optimization, never a failure)."""
+    import os as _os
+    import pickle
+
+    global _AOT_SALT
+    if _AOT_SALT is None:
+        _AOT_SALT = _code_salt()
+    shapes = tuple(
+        (tuple(getattr(a, "shape", np.shape(a))),
+         str(getattr(a, "dtype", np.asarray(a).dtype))) for a in args)
+    key = (_AOT_SALT, jax.__version__, jax.default_backend(),
+           key_parts, shapes)
+    hit = _AOT_MEMO.get(key)
+    if hit is not None:
+        return hit(*args)
+    cache = _aot_dir()
+    if cache is None:
+        return step(*args)
+    import hashlib
+
+    fname = hashlib.sha1(repr(key).encode()).hexdigest()[:24] + ".aot"
+    path = _os.path.join(cache, fname)
+    dbg = _os.environ.get("LZANI_TPU_AOT_DEBUG")
+
+    def _log(msg):
+        if dbg:
+            import sys as _sys
+            print(f"lz-ani-tpu aot: {msg} [{fname}]", file=_sys.stderr)
+
+    try:
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load, serialize)
+        import jax.tree_util as jtu
+
+        if _os.path.exists(path):
+            with open(path, "rb") as fh:
+                payload = fh.read()
+            in_tree = jtu.tree_structure((tuple(args), {}))
+            out_tree = jtu.tree_structure((1, 2, 3))  # (ev, nev, overflow)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            _log("hit")
+        else:
+            _log("miss -> compiling")
+            compiled = step.lower(*args).compile()
+            payload, _, _ = serialize(compiled)
+            tmp = path + f".tmp{_os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            _os.replace(tmp, path)
+        _AOT_MEMO[key] = compiled
+        return compiled(*args)
+    except Exception as e:
+        _log(f"fallback to jit ({type(e).__name__}: {str(e)[:120]})")
+        _AOT_MEMO[key] = step
+        return step(*args)
+
+
 _CMAT_CACHE: dict = {}
 
 
@@ -1354,14 +1460,21 @@ class PallasAll2All:
         if idx is None:
             idx = self.build_index(r, device)
         B = self.B
+        key_parts = (cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP, B,
+                     self.CNT_CAP, self.EV_CAP, self.kpair, self.LqPrep)
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
                                  B, self.CNT_CAP, self.EV_CAP,
                                  self.interpret, self.kpair, self.LqPrep)
-            ev, nev, overflow = step(idx.refbuf_p, self.Q[device],
-                                     np.int32(lo), np.int32(idx.nr),
-                                     self.DSZ[device], idx.win_flat,
-                                     idx.cmat)
+            args = (idx.refbuf_p, self.Q[device], np.int32(lo),
+                    np.int32(idx.nr), self.DSZ[device], idx.win_flat,
+                    idx.cmat)
+            if self.interpret or len(self.devices) > 1:
+                # AOT executables pin to the default device; the
+                # multi-chip round-robin keeps the plain jit path
+                ev, nev, overflow = step(*args)
+            else:
+                ev, nev, overflow = _run_step_aot(step, key_parts, args)
         return ev, nev, overflow
 
     def collect(self, handles):
