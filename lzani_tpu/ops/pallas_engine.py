@@ -166,6 +166,23 @@ def pack_bits_i32(bits: np.ndarray, pad_words: int) -> np.ndarray:
     return words.view(np.int32).reshape(1, W)
 
 
+CEF = 512  # forward ext_scan chunk width (lanes per loop iteration)
+
+
+def build_const_mat2(aw: int, ar: int) -> np.ndarray:
+    """Forward ext_scan banded matrices at the wide chunk width:
+    (CEF, 2*CEF) f32 — [:, :CEF) the aw-window band, [:, CEF:) the
+    ar-window band; B[k, e] = 1 iff e-width < k <= e. Vector ops below
+    ~(128,256) are priced per-op, not per-element (measured round 2), so
+    a (1,512) chunk costs the same per iteration as (1,128) and scans 4x
+    the symbols. Ships as an XLA constant inside the dispatch jit."""
+    k = np.arange(CEF)[:, None]
+    e = np.arange(CEF)[None, :]
+    baw = (e - aw < k) & (k <= e)
+    bar = (e - ar < k) & (k <= e)
+    return np.concatenate([baw, bar], axis=1).astype(np.float32)
+
+
 def build_const_mat(aw: int, ar: int) -> np.ndarray:
     """Kernel-resident constant matrices, one (128, 512) f32 block:
       [:, 0:128)   identity           (to_col)
@@ -186,6 +203,15 @@ def build_const_mat(aw: int, ar: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # kernel factory
 # ---------------------------------------------------------------------------
+
+#: PROFILING-ONLY phase-doubling hooks (scripts/profile_kernel_inner.py):
+#: each named phase is computed twice — the second copy perturbed by a
+#: runtime zero (scal lane 7) so XLA/Mosaic cannot CSE it — and combined
+#: with jnp.minimum (bit-identical result). The phase's true cost is then
+#: (flagged kernel) - (base kernel) on the same workload. Always empty in
+#: production; the hooks trace to nothing when unset.
+PROF_DOUBLE: frozenset = frozenset()
+
 
 def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                       WinP: int, EvL: int):
@@ -224,9 +250,10 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         off, fm = jax.lax.while_loop(cond, lambda st: body(st), (off, fm))
         return jnp.minimum(off - CH + fm, cap)
 
-    def ext_scan(qref, rref, cmat, dpos, rpos, cap, max_len, forward):
+    def ext_scan(qref, rref, cmat, cmat2, dpos, rpos, cap, max_len,
+                 forward):
         """The approximate sliding-window extension (parser.cpp:377-441),
-        exact semantics, vectorized per 128-chunk. The two sliding-window
+        exact semantics, vectorized per chunk. The two sliding-window
         mismatch counts (aw-window "bad" and ar-window run test) come from
         ONE MXU contraction against the resident banded matrices.
 
@@ -234,14 +261,31 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         r[rpos-1-e]. cap = positional bound (min over buffer edges);
         max_len = extra bound (backward: the literal length; BIG forward).
         Returns the reference scan's `last`.
+
+        Chunk shape (measured, round 2 — ext_scan is ~25-30% of a vir61
+        dispatch, and its cost is the per-OP overhead of the ~20 small
+        vector ops per chunk, not elements and not scalar syncs): the
+        forward path runs CEF=512-lane chunks against the wide banded
+        matrices (same op count per iteration, 4x the symbols); the rare
+        backward path (bounded by the pending literal) keeps 128 lanes,
+        which its lane-reversal trick needs. Inter-chunk carries (ar-run,
+        aw-tail, stop flag) stay vector-side; one VREG->SREG sync per
+        chunk.
         """
         total = jnp.minimum(cap, max_len)
-        CE = 128
+        CE = CEF if forward else 128
+        LqS = qref.shape[1]
+        LrS = rref.shape[1]
+        io = lane_iota(CE)
 
         def load_miss(base):
+            # overshooting sub-chunks (base >= total) read clamped
+            # in-bounds garbage; their lanes are all masked invalid
             if forward:
-                qb = align_load(qref, dpos + base, CE)
-                rb = align_load(rref, rpos + base, CE)
+                qo = jnp.clip(dpos + base, 0, LqS - CE - 128)
+                ro = jnp.clip(rpos + base, 0, LrS - CE - 128)
+                qb = align_load(qref, qo, CE)
+                rb = align_load(rref, ro, CE)
                 return (qb != rb).astype(I32)   # lane j -> e = base + j
             # e = base + j needs q[dpos-1-base-j]; load the ascending
             # blocks ending at dpos-base / rpos-base, reverse lanes,
@@ -250,9 +294,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # start, shift both loads consistently by `sh`.
             sq = dpos - base - CE
             sr = rpos - base - CE
-            sh = jnp.maximum(jnp.maximum(-sq, -sr), 0)
-            qb = align_load(qref, sq + sh, CE)
-            rb = align_load(rref, sr + sh, CE)
+            sh = jnp.clip(jnp.maximum(-sq, -sr), 0, CE)
+            qb = align_load(qref, jnp.clip(sq + sh, 0, LqS - CE - 128), CE)
+            rb = align_load(rref, jnp.clip(sr + sh, 0, LrS - CE - 128), CE)
             m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
             mr = reverse_lanes(m0, cmat[:, 128:256])
             # lanes j >= CE - sh wrapped around; they are beyond the
@@ -260,22 +304,23 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # and get masked by nv in the caller.
             return pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
 
-        def body(st):
-            base, run0, tail, last_v, done = st
+        def eval_one(base, run0v, tail, last_v, done_v):
+            """One 128-lane sub-chunk; carries stay vector-side.
+            run0v/done_v are (1,1); tail/last_v are (1,CE)."""
             nv = jnp.minimum(total - base, CE)
             miss = load_miss(base)
-            io = lane_iota(CE)
             valid = io < nv
             m_eff = jnp.where(valid, miss, 0)
 
             # windowed mismatch sums via MXU: W2[0, e] = bad(e) (aw window),
-            # W2[0, 128+e] = miss count in the ar window ending at e
+            # W2[0, CE+e] = miss count in the ar window ending at e
             W2 = jax.lax.dot_general(
-                m_eff.astype(jnp.float32), cmat[:, 256:512],
+                m_eff.astype(jnp.float32),
+                cmat2[:, :] if forward else cmat[:, 256:512],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(I32)
-            bad_w = W2[:, 0:128]
-            runm = W2[:, 128:256]
+            bad_w = W2[:, 0:CE]
+            runm = W2[:, CE:2 * CE]
 
             # bad(e) carry from the previous chunk: tail holds miss for
             # e = base-(aw-1)..base-1 in lanes 0..aw-2; contribution to
@@ -292,49 +337,59 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # run(e) >= ar  <=>  no miss in the ar-window ending at e,
             # counting positions before the chunk as matches up to run0
             # then a virtual mismatch (the old lm >= -(run0+1) floor)
-            extra = jnp.maximum((ar - 1 - run0) - io, 0)
+            extra = jnp.maximum((ar - 1 - run0v) - io, 0)
             ok = (valid & (m_eff == 0) & ((runm + extra) == 0)
-                  & (io < fs))  # m_eff==0 kept explicit for ar == 0
+                  & (io < fs) & (done_v == 0))  # m_eff==0: ar == 0 case
             last_v = jnp.maximum(last_v, jnp.where(ok, base + io + 1, 0))
 
-            # one packed reduce: stop flag (bit 20) + last in-chunk miss
-            key = (jnp.where(stop, 1 << 20, 0)
-                   + jnp.where(m_eff > 0, io + 256, 0))
-            r2 = jnp.max(key)
-            stopped = r2 >= (1 << 20)
-            lm_key = r2 & ((1 << 20) - 1)
-            # edge run clamped at ar (only its >= ar-ness matters onward);
-            # when nv < CE the loop ends and run_end is unused
-            run_end = jnp.where(
-                lm_key > 0,
-                jnp.minimum(nv - 1 - (lm_key - 256), ar),
-                jnp.minimum(run0 + nv, ar))
-            done = stopped | (nv < CE)
+            # carries for the NEXT sub-chunk, all vector-side:
+            # last in-chunk miss -> edge run clamped at ar (only its
+            # >= ar-ness matters onward)
+            lm = jnp.max(jnp.where(m_eff > 0, io, -1), axis=1,
+                         keepdims=True)
+            run0n = jnp.where(lm >= 0, jnp.minimum(nv - 1 - lm, ar),
+                              jnp.minimum(run0v + nv, ar))
+            stop_any = jnp.max(jnp.where(stop, 1, 0), axis=1,
+                               keepdims=True)
+            done_n = jnp.maximum(done_v, stop_any)
+            done_n = jnp.maximum(done_n, jnp.where(nv < CE, 1, 0))
             # new tail: miss at e = base+CE-(aw-1)+k  -> lane k
             ntail = pltpu.roll(m_eff, aw - 1, 1)
             ntail = jnp.where(io <= aw - 2, ntail, 0)
-            return base + CE, run_end, ntail, last_v, done
+            return run0n, ntail, last_v, done_n
 
-        # NOTE (measured, round 2): a first-chunk fast-reject pre-test
-        # (~79% of extensions are 0) LOSES ~10% end to end here — its two
-        # scalar reduces + branch cost more than the vector work skipped.
-        # Per-op overhead, not element count, prices this kernel.
-        init = (jnp.int32(0), jnp.int32(ar), jnp.zeros((1, CE), I32),
-                jnp.zeros((1, CE), I32), jnp.bool_(False))
+        # peeled first chunk (the ext == 0 majority never enters the loop)
+        run0v = jnp.full((1, 1), ar, I32)
+        tail = jnp.zeros((1, CE), I32)
+        last_v = jnp.zeros((1, CE), I32)
+        done_v = jnp.zeros((1, 1), I32)
+        run0v, tail, last_v, done_v = eval_one(jnp.int32(0), run0v, tail,
+                                               last_v, done_v)
+        done_sc = done_v[0, 0] > 0
 
-        def cond(st):
-            base, _, _, _, done = st
-            return (~done) & (base < total)
+        def big_body(st):
+            base, run0v, tail, last_v, done_v, _ = st
+            run0v, tail, last_v, done_v = eval_one(base, run0v, tail,
+                                                   last_v, done_v)
+            return (base + CE, run0v, tail, last_v, done_v,
+                    done_v[0, 0] > 0)
 
-        _, _, _, last_v, _ = jax.lax.while_loop(cond, body, init)
-        return jnp.max(last_v)
+        def big_cond(st):
+            base, _, _, _, _, done_sc = st
+            return (~done_sc) & (base < total)
+
+        st = (jnp.int32(CE), run0v, tail, last_v, done_v, done_sc)
+        st = jax.lax.while_loop(big_cond, big_body, st)
+        return jnp.max(st[3])
 
     # ---------------- the kernel itself ------------------------------------
 
     def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
-               ev_out, nev_out):
+               cmat2, ev_out, nev_out):
         dsz = scal_ref[0, 0]
         nr = scal_ref[0, 1]
+        # runtime zero for the PROF_DOUBLE hooks (scal lanes >= 2 ship 0)
+        z = scal_ref[0, 7]
 
         def resolve_anchor(jpos):
             """(a_len, a_pos) per ht_long semantics; (0,0) if no candidate.
@@ -365,6 +420,13 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                 lambda _: (jnp.int32(0), jnp.int32(0)),
                                 None)
 
+        def resolve_anchor_p(jpos):
+            al, ap = resolve_anchor(jpos)
+            if "anchor" in PROF_DOUBLE:
+                al2, ap2 = resolve_anchor(jpos + z)
+                al, ap = jnp.minimum(al, al2), jnp.minimum(ap, ap2)
+            return al, ap
+
         def log_event(st, i_ev, bpos, blen, bwd, ext):
             ne, pend = st
             lane0 = (ne % 16) * 8
@@ -391,6 +453,13 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             scalar-tracking argument (ops/DESIGN.md)."""
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
              ne, pend, n_ss, n_ds) = state
+            if "conds" in PROF_DOUBLE:
+                # 4 no-op scalar branches per event: measures Mosaic's
+                # per-lax.cond overhead (pipeline boundary), which the
+                # phase-doubling hooks cannot see
+                for _ in range(4):
+                    i_ev = jax.lax.cond(z > 0, lambda _: i_ev + 1,
+                                        lambda _: i_ev, None)
             lit_ev = lit_run + (i_ev - i)
             pred_ev = pred + (i_ev - i)
 
@@ -409,12 +478,20 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 run_len = (i_ev - reg_lo) + lit_below
                 tl = jnp.where(do_kill, run_len, tl)
                 # backward extension into the top literal
-                bwd = jax.lax.cond(
-                    tl > 0,
-                    lambda _: ext_scan(qbuf, refbuf, cmat, i_ev, bpos,
-                                       jnp.minimum(i_ev, bpos), tl,
-                                       forward=False),
-                    lambda _: jnp.int32(0), None)
+                def _bwd(_):
+                    b = ext_scan(qbuf, refbuf, cmat, cmat2, i_ev, bpos,
+                                 jnp.minimum(i_ev, bpos), tl,
+                                 forward=False)
+                    if "ext" in PROF_DOUBLE:
+                        b = jnp.minimum(
+                            b, ext_scan(qbuf, refbuf, cmat, cmat2,
+                                        i_ev + z, bpos + z,
+                                        jnp.minimum(i_ev, bpos),
+                                        tl, forward=False))
+                    return b
+
+                bwd = jax.lax.cond(tl > 0, _bwd,
+                                   lambda _: jnp.int32(0), None)
                 use_bwd = bwd > 0
                 rl = jnp.where(use_bwd, i_ev - bwd, i_ev)
                 lb = jnp.where(use_bwd, tl - bwd, tl)
@@ -425,9 +502,15 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             i2 = i_ev + blen
             pred2 = bpos + blen
-            ext = ext_scan(qbuf, refbuf, cmat, i2, pred2,
+            ext = ext_scan(qbuf, refbuf, cmat, cmat2, i2, pred2,
                            jnp.minimum(dsz - i2, nr - pred2), BIG,
                            forward=True)
+            if "ext" in PROF_DOUBLE:
+                ext = jnp.minimum(
+                    ext, ext_scan(qbuf, refbuf, cmat, cmat2, i2 + z,
+                                  pred2 + z,
+                                  jnp.minimum(dsz - i2, nr - pred2), BIG,
+                                  forward=True))
             ne2, pend2 = log_event((ne, pend), i_ev, bpos, blen, bwd, ext)
             i3 = i2 + ext
             pred3 = pred2 + ext
@@ -451,7 +534,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 # NOTE: unlike the synced branch, the desynced search has
                 # no `if (a_pos)` sentinel — a best match AT reference
                 # position 0 is a real match (parser.cpp:507-531 vs :604)
-                a_len, a_pos = resolve_anchor(j)
+                a_len, a_pos = resolve_anchor_p(j)
                 st2 = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
                        lit_below, ne, pend, n_ss, n_ds)
                 return apply_match(st2, j, a_pos, a_len)
@@ -472,6 +555,11 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             rrow = align_load(refbuf, b0, RCOLS)
             qcol = to_col(qrow, cmat[:, 0:128])[:QROWS]   # (QROWS, 1)
             E = (qcol == rrow).astype(I32)             # (QROWS, RCOLS)
+            if "ebuild" in PROF_DOUBLE:
+                qrow2 = align_load(qbuf, i + z, 128)
+                rrow2 = align_load(refbuf, b0 + z, RCOLS)
+                qcol2 = to_col(qrow2, cmat[:, 0:128])[:QROWS]
+                E = jnp.minimum(E, (qcol2 == rrow2).astype(I32))
 
             rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
             coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
@@ -484,6 +572,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # event fires — most supersteps on dissimilar pairs find
             # nothing and take the fast path below.
             A = run_detect(E, msl, rowi, coli)
+            if "rundet" in PROF_DOUBLE:
+                A = jnp.minimum(A, run_detect(E + z, msl, rowi, coli))
             seed_any_m = jnp.max(jnp.where(geo & (A > 0), 1, 0), axis=1,
                                  keepdims=True)        # (QROWS, 1)
 
@@ -493,6 +583,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             di = jax.lax.broadcasted_iota(I32, (QROWS, 1), 0)
             hit = ((seed_any_m > 0) | (anch_col > 0)) & (di < D_eff)
             d_ev = jnp.min(jnp.where(hit, di, BIG))
+            if "reduce" in PROF_DOUBLE:
+                d_ev = jnp.minimum(d_ev, jnp.min(jnp.where(hit, di + z,
+                                                           BIG)))
 
             def no_event(_):
                 adv = D_eff
@@ -504,33 +597,47 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             def with_event(_):
                 S = diag_lce(E, CAP, rowi, coli)
+                if "diag" in PROF_DOUBLE:
+                    S = jnp.minimum(S, diag_lce(E + z, CAP, rowi, coli))
                 valid = geo & (S >= msl)
-                # per-row winners, packed so each attempt costs ONE scalar
-                # sync: bits 23-29 row, 22 anchor-present, 21 seed-found,
-                # 15-20 capped seed length, 6-14 window column of winner.
-                # Tie-breaks inside a row (longest, then nearest to the
-                # prediction, then smallest position) are identical to the
-                # old per-attempt reduction.
-                Sv = jnp.where(valid, S, -1)
-                row_lmax = jnp.max(Sv, axis=1, keepdims=True)
                 dist = jnp.abs(w - pred_d)
-                tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
-                                ((127 - dist) << 9) | (511 - coli), -1)
-                row_tie = jnp.max(tie, axis=1, keepdims=True)
-                row_brel = 511 - (row_tie & 511)
-                sf = row_lmax >= msl
-                packed_rows = jnp.where(
-                    hit,
-                    (di << 23)
-                    + jnp.where(anch_col > 0, 1 << 22, 0)
-                    + jnp.where(sf, (1 << 21) + (row_lmax << 15)
-                                + (row_brel << 6), 0),
-                    BIG)
+
+                def _pack_rows(Sx):
+                    # per-row winners, packed so each attempt costs ONE
+                    # scalar sync: bits 23-29 row, 22 anchor-present, 21
+                    # seed-found, 15-20 capped seed length, 6-14 window
+                    # column of winner. Tie-breaks inside a row (longest,
+                    # then nearest to the prediction, then smallest
+                    # position) are identical to the old per-attempt
+                    # reduction.
+                    Sv = jnp.where(valid, Sx, -1)
+                    row_lmax = jnp.max(Sv, axis=1, keepdims=True)
+                    tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
+                                    ((127 - dist) << 9) | (511 - coli), -1)
+                    row_tie = jnp.max(tie, axis=1, keepdims=True)
+                    row_brel = 511 - (row_tie & 511)
+                    sf = row_lmax >= msl
+                    return jnp.where(
+                        hit,
+                        (di << 23)
+                        + jnp.where(anch_col > 0, 1 << 22, 0)
+                        + jnp.where(sf, (1 << 21) + (row_lmax << 15)
+                                    + (row_brel << 6), 0),
+                        BIG)
+
+                packed_rows = _pack_rows(S)
+                if "tiepack" in PROF_DOUBLE:
+                    packed_rows = jnp.minimum(packed_rows,
+                                              _pack_rows(S + z))
 
                 # loop over possibly-spurious anchor-only positions
                 def try_at(carry):
                     d0, done, out_state = carry
                     pk = jnp.min(jnp.where(di >= d0, packed_rows, BIG))
+                    if "reduce" in PROF_DOUBLE:
+                        pk = jnp.minimum(
+                            pk, jnp.min(jnp.where(di >= d0,
+                                                  packed_rows + z, BIG)))
 
                     def none_left(_):
                         st = no_event(None)
@@ -548,9 +655,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         # capped candidates can beat the capped max; walk
                         # them in ascending column order (preserves the
                         # smallest-position-on-tie rule) via masked-min.
-                        def escalate(args):
+                        def escalate(args, zz=0):
                             rowmask = (rowi == dd) & valid
-                            capped_col = jnp.where(rowmask & (S == CAP),
+                            capped_col = jnp.where(rowmask & (S + zz == CAP),
                                                    coli, BIG)
 
                             def nxt(c0):
@@ -581,10 +688,17 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         s_len, s_pos = jax.lax.cond(
                             (lmax == CAP) & s_found, escalate,
                             lambda a: a, (lmax, s_pos))
+                        if "seedfix" in PROF_DOUBLE:
+                            s2 = jax.lax.cond(
+                                (lmax == CAP) & s_found,
+                                lambda a: escalate(a, zz=z),
+                                lambda a: a, (s_len, s_pos))
+                            s_len = jnp.minimum(s_len, s2[0])
+                            s_pos = jnp.minimum(s_pos, s2[1])
 
                         a_len, a_pos = jax.lax.cond(
                             has_anch,
-                            lambda _: resolve_anchor(i + dd),
+                            lambda _: resolve_anchor_p(i + dd),
                             lambda _: (jnp.int32(0), jnp.int32(0)), None)
 
                         def pick(_):
@@ -959,6 +1073,8 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     shared = lambda b: (0, 0)
     perq = lambda b: (b, 0, 0)
 
+    cm2 = build_const_mat2(cfg.aw, cfg.ar)
+
     @jax.jit
     def run(scal, refbuf, qbuf, poslist, cand, next_hit, win, cmat):
         # per-query arrays are (B, 1, X); the squeezed (None) batch dim
@@ -980,13 +1096,16 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
                 pl.BlockSpec((128, 512), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((CEF, 2 * CEF), shared,
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=(pl.BlockSpec((None, 1, EvL), perq,
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((None, 1, 1), perq,
                                     memory_space=pltpu.SMEM)),
             interpret=interpret,
-        )(scal, refbuf, qbuf, poslist, cand, next_hit, win, cmat)
+        )(scal, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
+          jnp.asarray(cm2))
 
     return run
 
@@ -1103,12 +1222,18 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    + sum(len(w) for _, w in native_rows))
     n_fallback = 0
 
+    dl_pool = ThreadPoolExecutor(max_workers=2)  # event-log downloads
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
         pending = []
         inflight = []  # depth-2 dispatch pipeline hides downloads
         done_pairs = 0
+        done_lock = threading.Lock()
+        drain_futs = []
 
         def drain(u, handles):
+            # runs on dl_pool: the collect() downloads (2 tunnel round
+            # trips + the event bytes) overlap the next units' device
+            # compute instead of serializing the dispatch loop
             nonlocal done_pairs, n_fallback
             r, lo, sub = u
             evs = eng.collect(handles)
@@ -1116,16 +1241,19 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 slot = ((r, q - 1 if q > r else q)
                         if filter_csr is None else w)
                 if evs[q - lo] is None:
-                    n_fallback += 1
+                    with done_lock:
+                        n_fallback += 1
                     if verbosity >= 2:
                         print(f"lz-ani-tpu: pair ({r},{q}) fell back to "
                               f"the native engine (event/anchor capacity)",
                               file=sys.stderr)
                 pending.append(pool.submit(finalize, r, q, evs[q - lo],
                                            slot))
-            done_pairs += len(sub)
+            with done_lock:
+                done_pairs += len(sub)
+                dp = done_pairs
             if progress is not None:
-                progress(done_pairs, total_pairs)
+                progress(dp, total_pairs)
 
         # depth-2 pipeline per device: every chip keeps one unit in flight
         # while the previous one drains (P1 fan-out, lz_matcher.cpp:184-270).
@@ -1166,9 +1294,12 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                     del idx_cache[key]
             inflight.append((u, handles))
             if len(inflight) >= depth:
-                drain(*inflight.pop(0))
+                drain_futs.append(dl_pool.submit(drain,
+                                                 *inflight.pop(0)))
         while inflight:
-            drain(*inflight.pop(0))
+            drain_futs.append(dl_pool.submit(drain, *inflight.pop(0)))
+        for f in drain_futs:
+            f.result()
         for r, wanted in native_rows:
             for q, w in wanted.items():
                 slot = ((r, q - 1 if q > r else q)
@@ -1179,6 +1310,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 progress(done_pairs, total_pairs)
         for f in pending:
             f.result()
+    dl_pool.shutdown(wait=True)
     if n_fallback:
         _warn(f"lz-ani-tpu: {n_fallback}/{total_pairs} pairs fell back to "
               f"the native engine (event-buffer or anchor-bucket capacity)")
@@ -1356,6 +1488,8 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
                     pl.BlockSpec((128, 512), shared,
                                  memory_space=pltpu.VMEM),
+                    pl.BlockSpec((CEF, 2 * CEF), shared,
+                                 memory_space=pltpu.VMEM),
                 ],
                 out_specs=(pl.BlockSpec((None, 1, EvL), perq,
                                         memory_space=pltpu.VMEM),
@@ -1363,7 +1497,8 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                                         memory_space=pltpu.SMEM)),
                 interpret=interpret,
             )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
-              cd[:, None, :], nhm[:, None, :], win, cmat)
+              cd[:, None, :], nhm[:, None, :], win, cmat,
+              jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
             ev2 = ev[:, 0, :]
             nev_flat = nev[:, 0, 0]
         if LqP <= (1 << 16):
