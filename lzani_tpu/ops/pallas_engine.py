@@ -1260,7 +1260,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         # Reference indexes (win-table math + uploads) are prefetched on
         # the worker pool so index construction overlaps device compute;
         # consecutive units against the same reference share one index.
-        depth = 2 * len(eng.devices)
+        depth = 4 * len(eng.devices)
         PREFETCH = depth + 1
         idx_cache: dict = {}
         cache_lock = threading.Lock()
