@@ -41,8 +41,10 @@ BIG = (1 << 30)  # python int: avoids captured-constant tracing in pallas
 
 CAP = 32          # band LCE cap (level-1); longer runs escalate to exact
 CAP2 = 512        # escalation strip depth per round
-QROWS = 80        # band matrix rows  (>= D-1 + CAP = 72 at defaults)
-RCOLS = 256       # band matrix cols  (>= W-1 + CAP = 206 at defaults)... see check in engine
+QROWS = 80        # v4 band matrix rows  (>= D-1 + CAP = 72 at defaults)
+RCOLS = 256       # v4 band matrix cols  (>= W-1 + CAP = 206 at defaults)
+WROWS = 128       # v3 chained-window rows (one aligned query load)
+WCOLS = 384       # v3 chained-window cols
 CH = 512          # chunk for exact-LCE / extension scans
 EV_STRIDE = 8     # int32 per event record
 
@@ -222,8 +224,14 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     W = mqd + mrd                    # band width (window offsets)
     NL = mqd + 1                     # WIN table lr entries
     NS = SAT - msl + 1               # WIN table sl entries
-    assert D - 1 + CAP <= QROWS
-    assert W - 1 + CAP <= RCOLS - 50  # head-room for rrow loads
+    msl_eff = min(msl, CAP)
+    # chained-window legality: every geo-valid cell keeps >= msl_eff of
+    # diagonal runway inside the (WROWS, WCOLS) matrix, so a true seed is
+    # never truncated below the validity threshold; cells whose measured
+    # run reaches min(CAP, edge) are re-contested exactly (see Scap).
+    assert D + msl_eff <= WROWS, (D, msl_eff)
+    assert W + D + msl_eff <= WCOLS, (W, D, msl_eff)
+    assert max(mqd, mrd) <= 127      # dist fits the 7-bit tie-pack field
 
     # ---------------- in-kernel helpers bound to refs ---------------------
 
@@ -541,218 +549,229 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             return jax.lax.cond(j >= dsz - msl, to_end, at_candidate, None)
 
-        # ---------------- synced superstep ---------------------------------
-        def sync_step(state):
-            (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend, n_ss, n_ds) = state
-            n_ss = n_ss + 1
-            D_dyn = mqd - lit_run + 1
-            D_eff = jnp.minimum(D_dyn, (dsz - msl) - i)
-            lo0 = pred - lit_run
-            b0 = jnp.maximum(lo0, 0)
+        # ---------------- synced chained window ----------------------------
+        # One (WROWS, WCOLS) band serves a CHAIN of events: the E matrix,
+        # its capped diagonal-LCE S, and the anchor row are built once per
+        # window; each chained event only rebuilds the cheap state-
+        # dependent masks. Events whose post-state stays inside the window
+        # margins (advance <= WROWS - D - msl_eff rows and the analogous
+        # column-span bound) continue the chain; anchor jumps, desyncs,
+        # no-event advances, and margin breaks exit to a fresh window.
+        # Cells whose measured run reaches min(CAP, matrix edge) are
+        # re-contested exactly with the uncapped winner as the incumbent,
+        # extending the old lmax==CAP escalation to edge-truncated runs.
+        def sync_window(state0):
+            i0 = state0[0]
+            b0 = jnp.maximum(state0[1] - state0[2], 0)
 
-            qrow = align_load(qbuf, i, 128)            # a < QROWS <= 128
-            rrow = align_load(refbuf, b0, RCOLS)
-            qcol = to_col(qrow, cmat[:, 0:128])[:QROWS]   # (QROWS, 1)
-            E = (qcol == rrow).astype(I32)             # (QROWS, RCOLS)
+            qrow = align_load(qbuf, i0, 128)
+            rrow = align_load(refbuf, b0, WCOLS)
+            qcol = to_col(qrow, cmat[:, 0:128])          # (128, 1)
+            E = (qcol == rrow).astype(I32)               # (WROWS, WCOLS)
             if "ebuild" in PROF_DOUBLE:
-                qrow2 = align_load(qbuf, i + z, 128)
-                rrow2 = align_load(refbuf, b0 + z, RCOLS)
-                qcol2 = to_col(qrow2, cmat[:, 0:128])[:QROWS]
-                E = jnp.minimum(E, (qcol2 == rrow2).astype(I32))
+                qrow2 = align_load(qbuf, i0 + z, 128)
+                rrow2 = align_load(refbuf, b0 + z, WCOLS)
+                E = jnp.minimum(E, (to_col(qrow2, cmat[:, 0:128])
+                                    == rrow2).astype(I32))
 
-            rowi = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 0)
-            coli = jax.lax.broadcasted_iota(I32, (QROWS, RCOLS), 1)
-            w = b0 + coli
-            pred_d = pred + rowi
-            geo = (rowi < D_eff) & (coli < W + rowi) & (w < pred_d + mrd)
+            rowi = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
+            coli = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
+            S = diag_lce(E, CAP, rowi, coli)
+            if "diag" in PROF_DOUBLE:
+                S = jnp.minimum(S, diag_lce(E + z, rowi * 0 + CAP, rowi,
+                                            coli))
+            # per-cell saturation threshold: CAP, or the matrix edge for
+            # cells whose diagonal runway is shorter (geo cells always
+            # keep >= msl_eff of runway — see the factory asserts)
+            Scap = jnp.minimum(jnp.minimum(WROWS - rowi, WCOLS - coli),
+                               CAP)
 
-            # cheap seed pre-test (a few shifted ANDs): which rows hold a
-            # run >= msl at all. The full capped LCE is only built when an
-            # event fires — most supersteps on dissimilar pairs find
-            # nothing and take the fast path below.
-            A = run_detect(E, msl, rowi, coli)
-            if "rundet" in PROF_DOUBLE:
-                A = jnp.minimum(A, run_detect(E + z, msl, rowi, coli))
-            seed_any_m = jnp.max(jnp.where(geo & (A > 0), 1, 0), axis=1,
-                                 keepdims=True)        # (QROWS, 1)
+            cvec = align_load(cand, i0, 128)             # lanes d (packed)
+            anch_col = to_col((cvec > 0).astype(I32),
+                              cmat[:, 0:128])            # (WROWS, 1)
+            di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
 
-            cvec = align_load(cand, i, 128)            # lanes d (packed)
-            anch_row = (cvec > 0).astype(I32)          # (1,128)
-            anch_col = to_col(anch_row, cmat[:, 0:128])[:QROWS]  # (QROWS,1)
-            di = jax.lax.broadcasted_iota(I32, (QROWS, 1), 0)
-            hit = ((seed_any_m > 0) | (anch_col > 0)) & (di < D_eff)
-            d_ev = jnp.min(jnp.where(hit, di, BIG))
-            if "reduce" in PROF_DOUBLE:
-                d_ev = jnp.minimum(d_ev, jnp.min(jnp.where(hit, di + z,
-                                                           BIG)))
-
-            def no_event(_):
-                adv = D_eff
-                new_lr = lit_run + adv
-                desync = new_lr > mqd
-                return (i + adv, jnp.where(desync, -dsz, pred + adv),
-                        new_lr, reg_lo, reg_hi, top_lit, lit_below, ne,
-                        pend, n_ss, n_ds)
-
-            def with_event(_):
-                S = diag_lce(E, CAP, rowi, coli)
-                if "diag" in PROF_DOUBLE:
-                    S = jnp.minimum(S, diag_lce(E + z, CAP, rowi, coli))
+            def win_body(carry):
+                st, a_min, _done = carry
+                (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
+                 ne, pend, n_ss, n_ds) = st
+                n_ss = n_ss + 1
+                st = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
+                      lit_below, ne, pend, n_ss, n_ds)
+                d_base = i - i0
+                D_eff = jnp.minimum(mqd - lit_run + 1, (dsz - msl) - i)
+                c_lo = (pred - lit_run) - b0             # <= 0 at entry
+                off = pred - d_base - b0
+                live = (rowi >= d_base) & (rowi < d_base + D_eff)
+                geo = live & (coli >= c_lo) & (coli - rowi < off + mrd)
                 valid = geo & (S >= msl)
-                dist = jnp.abs(w - pred_d)
+                capped = valid & (S >= Scap)
+                dist = jnp.abs(coli - rowi - off)
+
+                live1 = (di >= d_base) & (di < d_base + D_eff)
+                seed_any = jnp.max(jnp.where(valid, 1, 0), axis=1,
+                                   keepdims=True)
+                hit = ((seed_any > 0) | (anch_col > 0)) & live1
 
                 def _pack_rows(Sx):
-                    # per-row winners, packed so each attempt costs ONE
-                    # scalar sync: bits 23-29 row, 22 anchor-present, 21
-                    # seed-found, 15-20 capped seed length, 6-14 window
-                    # column of winner. Tie-breaks inside a row (longest,
-                    # then nearest to the prediction, then smallest
-                    # position) are identical to the old per-attempt
-                    # reduction.
-                    Sv = jnp.where(valid, Sx, -1)
-                    row_lmax = jnp.max(Sv, axis=1, keepdims=True)
-                    tie = jnp.where((Sv == row_lmax) & (row_lmax >= 0),
+                    # per-row UNCAPPED winners (longest, then nearest,
+                    # then smallest position), packed so each attempt
+                    # costs one scalar sync: bits 23-29 row, 22 anchor-
+                    # present, 21 seed-found, 15-20 seed length, 6-14
+                    # window column, 5 row-has-capped-cells.
+                    SvU = jnp.where(valid & ~capped, Sx, -1)
+                    row_lmax = jnp.max(SvU, axis=1, keepdims=True)
+                    tie = jnp.where((SvU == row_lmax) & (row_lmax >= 0),
                                     ((127 - dist) << 9) | (511 - coli), -1)
                     row_tie = jnp.max(tie, axis=1, keepdims=True)
                     row_brel = 511 - (row_tie & 511)
                     sf = row_lmax >= msl
+                    cap_any = jnp.max(jnp.where(capped, 1, 0), axis=1,
+                                      keepdims=True)
                     return jnp.where(
                         hit,
                         (di << 23)
                         + jnp.where(anch_col > 0, 1 << 22, 0)
                         + jnp.where(sf, (1 << 21) + (row_lmax << 15)
-                                    + (row_brel << 6), 0),
+                                    + (row_brel << 6), 0)
+                        + jnp.where(cap_any > 0, 1 << 5, 0),
                         BIG)
 
                 packed_rows = _pack_rows(S)
                 if "tiepack" in PROF_DOUBLE:
                     packed_rows = jnp.minimum(packed_rows,
                                               _pack_rows(S + z))
+                pk = jnp.min(jnp.where(di >= a_min, packed_rows, BIG))
+                if "reduce" in PROF_DOUBLE:
+                    pk = jnp.minimum(
+                        pk, jnp.min(jnp.where(di >= a_min,
+                                              packed_rows + z, BIG)))
 
-                # loop over possibly-spurious anchor-only positions
-                def try_at(carry):
-                    d0, done, out_state = carry
-                    pk = jnp.min(jnp.where(di >= d0, packed_rows, BIG))
-                    if "reduce" in PROF_DOUBLE:
-                        pk = jnp.minimum(
-                            pk, jnp.min(jnp.where(di >= d0,
-                                                  packed_rows + z, BIG)))
+                def no_event(_):
+                    adv = D_eff
+                    new_lr = lit_run + adv
+                    desync = new_lr > mqd
+                    st2 = (i + adv, jnp.where(desync, -dsz, pred + adv),
+                           new_lr, reg_lo, reg_hi, top_lit, lit_below,
+                           ne, pend, n_ss, n_ds)
+                    return (st2, jnp.int32(0), jnp.bool_(True))
 
-                    def none_left(_):
-                        st = no_event(None)
-                        return (jnp.int32(BIG), jnp.bool_(True), st)
+                def attempt(_):
+                    dd = pk >> 23                        # absolute row
+                    has_anch = ((pk >> 22) & 1) > 0
+                    sf_u = ((pk >> 21) & 1) > 0
+                    lmax_u = (pk >> 15) & 63
+                    brel_u = (pk >> 6) & 511
+                    has_cap = ((pk >> 5) & 1) > 0
+                    i_ev = i0 + dd
+                    pred_dd = pred + (dd - d_base)
+                    s_pos0 = b0 + brel_u
+                    dst0 = jnp.abs(s_pos0 - pred_dd)
 
-                    def attempt(_):
-                        dd = pk >> 23
-                        has_anch = ((pk >> 22) & 1) > 0
-                        s_found = ((pk >> 21) & 1) > 0
-                        lmax = (pk >> 15) & 63
-                        brel = (pk >> 6) & 511
-                        s_pos = b0 + brel
+                    def contest(args, zz=0):
+                        # exact re-contest of the row's capped cells in
+                        # ascending column order, seeded with the uncapped
+                        # winner as the incumbent (full tie-break incl.
+                        # the smallest-position rule)
+                        blen0 = jnp.where(sf_u, lmax_u, 0)
+                        bpos0 = jnp.where(sf_u, s_pos0, 0)
+                        bdst0 = jnp.where(sf_u, dst0, BIG)
+                        capped_col = jnp.where(
+                            (rowi == dd) & capped & (S + zz >= Scap),
+                            coli, BIG)
 
-                        # escalate capped seed lengths to exact: only
-                        # capped candidates can beat the capped max; walk
-                        # them in ascending column order (preserves the
-                        # smallest-position-on-tie rule) via masked-min.
-                        def escalate(args, zz=0):
-                            rowmask = (rowi == dd) & valid
-                            capped_col = jnp.where(rowmask & (S + zz == CAP),
-                                                   coli, BIG)
+                        def nxt(c0):
+                            return jnp.min(
+                                jnp.where(capped_col >= c0, capped_col,
+                                          BIG))
 
-                            def nxt(c0):
-                                return jnp.min(
-                                    jnp.where(capped_col >= c0, capped_col,
-                                              BIG))
+                        def body(cst):
+                            c, blen, bpos, bdst = cst
+                            p = b0 + c
+                            ml = exact_lce(
+                                qbuf, refbuf, i_ev, p,
+                                jnp.minimum(nr - p, dsz - i_ev))
+                            dst = jnp.abs(p - pred_dd)
+                            better = ((ml > blen)
+                                      | ((ml == blen) & (dst < bdst))
+                                      | ((ml == blen) & (dst == bdst)
+                                         & (p < bpos)))
+                            return (nxt(c + 1),
+                                    jnp.where(better, ml, blen),
+                                    jnp.where(better, p, bpos),
+                                    jnp.where(better, dst, bdst))
 
-                            def contest(st):
-                                c, blen, bpos, bdist = st
-                                p = b0 + c
-                                ml = exact_lce(
-                                    qbuf, refbuf, i + dd, p,
-                                    jnp.minimum(nr - p, dsz - (i + dd)))
-                                dst = jnp.abs(p - (pred + dd))
-                                better = (ml > blen) | (
-                                    (ml == blen) & (dst < bdist))
-                                return (nxt(c + 1),
-                                        jnp.where(better, ml, blen),
-                                        jnp.where(better, p, bpos),
-                                        jnp.where(better, dst, bdist))
+                        c0 = nxt(jnp.int32(0))
+                        _, blen, bpos, _ = jax.lax.while_loop(
+                            lambda cst: cst[0] != BIG, body,
+                            (c0, blen0, bpos0, bdst0))
+                        return blen, bpos
 
-                            c0 = nxt(jnp.int32(0))
-                            _, blen, bpos, _ = jax.lax.while_loop(
-                                lambda st: st[0] != BIG, contest,
-                                (c0, jnp.int32(0), jnp.int32(0), jnp.int32(BIG)))
-                            return blen, bpos
+                    s_len, s_pos = jax.lax.cond(
+                        has_cap, contest, lambda a: a,
+                        (jnp.where(sf_u, lmax_u, 0),
+                         jnp.where(sf_u, s_pos0, 0)))
+                    if "seedfix" in PROF_DOUBLE:
+                        s2 = jax.lax.cond(
+                            has_cap, lambda a: contest(a, zz=z),
+                            lambda a: a, (s_len, s_pos))
+                        s_len = jnp.minimum(s_len, s2[0])
+                        s_pos = jnp.minimum(s_pos, s2[1])
+                    s_found = sf_u | has_cap
 
-                        s_len, s_pos = jax.lax.cond(
-                            (lmax == CAP) & s_found, escalate,
-                            lambda a: a, (lmax, s_pos))
-                        if "seedfix" in PROF_DOUBLE:
-                            s2 = jax.lax.cond(
-                                (lmax == CAP) & s_found,
-                                lambda a: escalate(a, zz=z),
-                                lambda a: a, (s_len, s_pos))
-                            s_len = jnp.minimum(s_len, s2[0])
-                            s_pos = jnp.minimum(s_pos, s2[1])
+                    a_len, a_pos = jax.lax.cond(
+                        has_anch,
+                        lambda _: resolve_anchor_p(i_ev),
+                        lambda _: (jnp.int32(0), jnp.int32(0)), None)
 
-                        a_len, a_pos = jax.lax.cond(
-                            has_anch,
-                            lambda _: resolve_anchor_p(i + dd),
-                            lambda _: (jnp.int32(0), jnp.int32(0)), None)
+                    # arbitration (WIN table) when both present
+                    def arb(_):
+                        alc = jnp.minimum(a_len, SAT) - mal
+                        slc = jnp.minimum(s_len, SAT) - msl
+                        lr_ev = lit_run + (dd - d_base)
+                        widx = (alc * NS + slc) * NL + lr_ev
+                        # WIN table is bit-packed (32 entries/word)
+                        word = vext(win, widx >> 5)
+                        return ((word >> (widx & 31)) & 1) > 0
 
-                        def pick(_):
-                            # arbitration (WIN table) when both present
-                            def arb(_):
-                                alc = jnp.minimum(a_len, SAT) - mal
-                                slc = jnp.minimum(s_len, SAT) - msl
-                                lr_ev = lit_run + dd
-                                widx = (alc * NS + slc) * NL + lr_ev
-                                # WIN table is bit-packed (32 entries/word)
-                                word = vext(win, widx >> 5)
-                                return ((word >> (widx & 31)) & 1) > 0
+                    take_a = jax.lax.cond(
+                        a_pos != 0,
+                        lambda _: jax.lax.cond(
+                            s_found & (s_pos != 0), arb,
+                            lambda _: jnp.bool_(True), None),
+                        lambda _: jnp.bool_(False), None)
+                    take_a = take_a & (a_pos != 0)
+                    use_seed = s_found & ~take_a
+                    bl = jnp.where(take_a, a_len, s_len)
+                    bp = jnp.where(take_a, a_pos, s_pos)
+                    good = take_a | use_seed
 
-                            take_a = jax.lax.cond(
-                                a_pos != 0,
-                                lambda _: jax.lax.cond(
-                                    s_found & (s_pos != 0), arb,
-                                    lambda _: jnp.bool_(True), None),
-                                lambda _: jnp.bool_(False), None)
-                            take_a = take_a & (a_pos != 0)
-                            use_seed = s_found & ~take_a
-                            bl = jnp.where(take_a, a_len, s_len)
-                            bp = jnp.where(take_a, a_pos, s_pos)
-                            good = take_a | use_seed
+                    def apply(_):
+                        st2 = apply_match(st, i_ev, bp, bl)
+                        d2 = st2[0] - i0
+                        sp2 = st2[1] - b0
+                        chain = ((d2 + D + msl_eff <= WROWS)
+                                 & (sp2 >= 0)
+                                 & (sp2 + W + D + msl_eff <= WCOLS)
+                                 & (st2[0] + msl < dsz)
+                                 & (st2[7] < MAXEV - 1))
+                        return (st2, d2, ~chain)
 
-                            def apply(_):
-                                st2 = (i, pred, lit_run, reg_lo, reg_hi,
-                                       top_lit, lit_below, ne, pend,
-                                       n_ss, n_ds)
-                                return (jnp.int32(BIG), jnp.bool_(True),
-                                        apply_match(st2, i + dd, bp, bl))
+                    def spurious(_):
+                        return (st, dd + 1, jnp.bool_(False))
 
-                            def spurious(_):
-                                return (dd + 1, jnp.bool_(False),
-                                        out_state)
+                    return jax.lax.cond(good, apply, spurious, None)
 
-                            return jax.lax.cond(good, apply, spurious,
-                                                None)
+                return jax.lax.cond(pk == BIG, no_event, attempt, None)
 
-                        return pick(None)
-
-                    return jax.lax.cond(pk == BIG, none_left, attempt,
-                                        None)
-
-                init = (jnp.int32(0), jnp.bool_(False), state)
-                _, _, out = jax.lax.while_loop(lambda c: ~c[1], try_at,
-                                               init)
-                return out
-
-            return jax.lax.cond(d_ev == BIG, no_event, with_event, None)
+            out, _, _ = jax.lax.while_loop(
+                lambda c: ~c[2], win_body,
+                (state0, jnp.int32(0), jnp.bool_(False)))
+            return out
 
         # ---------------- main loop ----------------------------------------
         def step(state):
-            return jax.lax.cond(state[1] >= 0, sync_step, desync_step,
+            return jax.lax.cond(state[1] >= 0, sync_window, desync_step,
                                 state)
 
         init = (jnp.int32(0), -dsz, jnp.int32(0), jnp.int32(-1),
@@ -1196,9 +1215,21 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
-    MAX_REF_SYMS = 700_000
+    MAX_REF_SYMS = eng.MAX_REF_SYMS
 
-    units = []
+    # references grouped G-per-dispatch (run-wide shape buckets, so every
+    # group shares ONE executable) — amortizes the tunnel's un-hideable
+    # per-dispatch round trip and the per-dispatch query prep across G
+    # references. The final group is padded with cheap dummy refs (r=-1)
+    # rather than compiling a remainder-G executable: loading a program
+    # onto the device costs ~1 min through the tunnel. kpair>1 (the v4
+    # lockstep kernel) keeps single-ref dispatches.
+    use_group = eng.kpair == 1
+    GROUP = (max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
+             if use_group else 1)
+    mrd = params.max_dist_in_ref
+
+    rows_ok = []
     native_rows = []
     for r in range(n):
         if filter_csr is None:
@@ -1206,19 +1237,34 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         else:
             wanted = {int(q): int(indptr[r]) + k
                       for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
-        if 2 * len(codes[r]) + 3 * params.max_dist_in_ref > MAX_REF_SYMS:
+        if 2 * len(codes[r]) + 3 * mrd > MAX_REF_SYMS:
             _warn(f"lz-ani-tpu: reference {r} "
                   f"({len(codes[r])} bp) exceeds the device VMEM budget "
                   f"({MAX_REF_SYMS} composite symbols); row runs on the "
                   f"native engine")
             native_rows.append((r, wanted))
             continue
-        for lo in range(0, eng.n_pad, eng.B):
-            sub = {q: w for q, w in wanted.items() if lo <= q < lo + eng.B}
-            if sub:
-                units.append((r, lo, sub))
+        rows_ok.append((r, wanted))
 
-    total_pairs = (sum(len(u[2]) for u in units)
+    groups = []  # ([r...], [wanted...]) — padded to GROUP with r=-1
+    for i0 in range(0, len(rows_ok), GROUP):
+        chunk = rows_ok[i0:i0 + GROUP]
+        r_list = [r for r, _ in chunk]
+        wanteds = [w for _, w in chunk]
+        while len(r_list) < GROUP:
+            r_list.append(-1)
+            wanteds.append({})
+        groups.append((r_list, wanteds))
+
+    units = []  # (r_list, lo, subs) with subs[g] = {q: slot}
+    for r_list, wanteds in groups:
+        for lo in range(0, eng.n_pad, eng.B):
+            subs = [{q: w for q, w in wanted.items()
+                     if lo <= q < lo + eng.B} for wanted in wanteds]
+            if any(subs):
+                units.append((r_list, lo, subs))
+
+    total_pairs = (sum(len(s) for u in units for s in u[2])
                    + sum(len(w) for _, w in native_rows))
     n_fallback = 0
 
@@ -1235,22 +1281,26 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             # trips + the event bytes) overlap the next units' device
             # compute instead of serializing the dispatch loop
             nonlocal done_pairs, n_fallback
-            r, lo, sub = u
-            evs = eng.collect(handles)
-            for q, w in sub.items():
-                slot = ((r, q - 1 if q > r else q)
-                        if filter_csr is None else w)
-                if evs[q - lo] is None:
-                    with done_lock:
-                        n_fallback += 1
-                    if verbosity >= 2:
-                        print(f"lz-ani-tpu: pair ({r},{q}) fell back to "
-                              f"the native engine (event/anchor capacity)",
-                              file=sys.stderr)
-                pending.append(pool.submit(finalize, r, q, evs[q - lo],
-                                           slot))
+            r_list, lo, subs = u
+            evs = (eng.collect_group(handles) if use_group
+                   else [eng.collect(handles)])
+            n_sub = 0
+            for g, r in enumerate(r_list):
+                for q, w in subs[g].items():
+                    slot = ((r, q - 1 if q > r else q)
+                            if filter_csr is None else w)
+                    if evs[g][q - lo] is None:
+                        with done_lock:
+                            n_fallback += 1
+                        if verbosity >= 2:
+                            print(f"lz-ani-tpu: pair ({r},{q}) fell back "
+                                  f"to the native engine (event/anchor "
+                                  f"capacity)", file=sys.stderr)
+                    pending.append(pool.submit(finalize, r, q,
+                                               evs[g][q - lo], slot))
+                n_sub += len(subs[g])
             with done_lock:
-                done_pairs += len(sub)
+                done_pairs += n_sub
                 dp = done_pairs
             if progress is not None:
                 progress(dp, total_pairs)
@@ -1265,12 +1315,13 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         idx_cache: dict = {}
         cache_lock = threading.Lock()
 
-        def get_index(r, dev):
-            key = (r, id(dev))
+        def get_index(r_list, dev):
+            key = (tuple(r_list), id(dev))
             with cache_lock:
                 hit = idx_cache.get(key)
             if hit is None:
-                hit = eng.build_index(r, dev)
+                hit = (eng.build_group_index(r_list, dev) if use_group
+                       else eng.build_index(r_list[0], dev))
                 with cache_lock:
                     idx_cache[key] = hit
             return hit
@@ -1286,11 +1337,16 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         for k, u in enumerate(units):
             ensure_prefetch(k)
             idx = idx_futs.pop(k).result()
-            handles = eng.dispatch_range(u[0], u[1], eng.device_for(k),
-                                         idx=idx)
+            if use_group:
+                handles = eng.dispatch_group(idx, u[1],
+                                             eng.device_for(k))
+            else:
+                handles = eng.dispatch_range(u[0][0], u[1],
+                                             eng.device_for(k), idx=idx)
             # drop stale cache entries (units are ordered by ref)
             with cache_lock:
-                for key in [ky for ky in idx_cache if ky[0] < u[0]]:
+                lo_r = min(r for r in u[0] if r >= 0)
+                for key in [ky for ky in idx_cache if max(ky[0]) < lo_r]:
                     del idx_cache[key]
             inflight.append((u, handles))
             if len(inflight) >= depth:
@@ -1342,6 +1398,181 @@ def dev_kmer_stream(buf, k, n_sym=4):
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     ok &= idx <= L - k
     return jnp.where(ok, val, -1)
+
+
+class PallasGroupIndex:
+    """Per-reference device state for a GROUP of references that share the
+    same shape buckets, stacked along a leading axis so one dispatch can
+    run G references x B queries on a (G, B) pallas grid.
+
+    Motivation (measured, round 2): the axon tunnel serializes dispatches,
+    so every per-reference dispatch pays ~25-40 ms of un-hideable
+    round-trip + download latency — ~20% of the warm vir61 wall. Grouping
+    G references per dispatch amortizes that fixed cost G-fold and shares
+    the per-dispatch query prep (unpack + kmer stream) across the group.
+    """
+
+    def __init__(self, codes_list, params, interpret: bool = False,
+                 device=None, LrP: int | None = None,
+                 KaP: int | None = None):
+        self.cfg = cfg = ParseCfg.from_params(params)
+        mrd = cfg.mrd
+        self.interpret = interpret
+        self.device = device
+        G = self.G = len(codes_list)
+        rbs = [ref_buffer_np(c, mrd) for c in codes_list]
+        self.nrs = np.array([len(rb) for rb in rbs], np.int32)
+        # shape buckets are forced run-wide by the driver so that ONE
+        # executable serves every dispatch: loading a compiled program
+        # onto the device costs ~1 min through the tunnel, paid once per
+        # distinct executable per process
+        mx = int(self.nrs.max())
+        self.LrP = LrP if LrP is not None else _bucket(mx + 1024)
+        self.KaP = KaP if KaP is not None else _bucket(mx + 256, lo=1024)
+        assert self.LrP >= mx + 1024 and self.KaP >= mx + 256
+        bufs = np.full((G, self.LrP), SYM_N_REF, np.uint8)
+        for g, rb in enumerate(rbs):
+            bufs[g, :len(rb)] = rb
+        wfs = np.concatenate(
+            [pack_bits_i32(
+                build_win_table(int(n), cfg.mal, cfg.msl, cfg.mrd,
+                                cfg.mqd).reshape(-1), 128)
+             for n in self.nrs], axis=0)          # (G, WinP)
+        self.WinP = wfs.shape[1]
+        rbp = pack3_rows(bufs)
+        LrP3 = _pad128(rbp.shape[1])
+        rbp_padded = np.zeros((G, LrP3), np.uint8)
+        rbp_padded[:, :rbp.shape[1]] = rbp
+        if interpret:
+            self.refbuf_p, self.win, self.nrs_dev = rbp_padded, wfs, \
+                self.nrs
+            self.cmat = build_const_mat(cfg.aw, cfg.ar)
+        else:
+            with jax.enable_x64(False):
+                self.refbuf_p = jax.device_put(rbp_padded, device)
+                self.win = jax.device_put(wfs, device)
+                self.nrs_dev = jax.device_put(self.nrs, device)
+                self.cmat = _get_cmat_dev(cfg.aw, cfg.ar, device)
+
+
+@lru_cache(maxsize=32)
+def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
+                    B: int, G: int, cnt_cap: int, ev_cap: int,
+                    interpret: bool, LqPrep: int | None = None):
+    """Fused jit for a reference GROUP: G independent join builds + one
+    shared query prep + a (G, B) pallas grid — one dispatch per group."""
+    EvL = PallasRefIndex.MAXEV * 8
+    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+    mal, msl = cfg.mal, cfg.msl
+    nk = 1 << (2 * mal)
+
+    sharedg = lambda g, b: (g, 0, 0)
+    perqb = lambda g, b: (b, 0, 0)
+    pergb = lambda g, b: (g, b, 0, 0)
+    fixed2 = lambda g, b: (0, 0)
+
+    @jax.jit
+    def step(refbuf_p, Qpacked, lo_row, nrs, dszs_full, win, cmat):
+        dsz = jax.lax.dynamic_slice(dszs_full, (lo_row,), (B,))
+        # --- per-ref join builds (batched over the group) -----------------
+        refbuf = dev_unpack3(refbuf_p, LrP)              # (G, LrP)
+        km = dev_kmer_stream(refbuf, mal)                # (G, LrP)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (G, LrP), 1)
+        keys = jnp.where(km >= 0, km, nk)
+        _, pos_s = jax.lax.sort((keys, pos), num_keys=1)  # per-row sort
+        goff = jnp.arange(G, dtype=jnp.int32) * (nk + 1)
+        count = (jnp.zeros(G * (nk + 1), jnp.int32)
+                 .at[(keys + goff[:, None]).reshape(-1)].add(1)
+                 .reshape(G, nk + 1)[:, :nk])
+        start = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.int32),
+             jnp.cumsum(count, axis=1)[:, :-1]], axis=1)
+        ptab = jnp.where(count > 0,
+                         (start << 7) | jnp.minimum(count, 127), 0)
+        if KaP <= LrP:
+            poslist = pos_s[:, :KaP]
+        else:
+            poslist = (jnp.zeros((G, KaP), jnp.int32)
+                       .at[:, :LrP].set(pos_s))
+        # --- query prep: ONCE for the whole group -------------------------
+        Lp = LqPrep or LqP
+        Lp3 = min(-(-Lp // 3) + 128, Qpacked.shape[1])
+        qsel_p = jax.lax.dynamic_slice(
+            Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
+        qsel = dev_unpack3(qsel_p[:, :Lp3], Lp)          # (B, Lp)
+        qkm = dev_kmer_stream(qsel, mal)
+        qk = jnp.where(qkm >= 0, qkm, 0)
+        # per-ref candidate tables: one flat gather over the stacked ptab
+        flat = ptab.reshape(-1)
+        gk = qk[None, :, :] + (jnp.arange(G, dtype=jnp.int32) * nk
+                               )[:, None, None]
+        pk = jnp.where(qkm[None] >= 0, flat[gk], 0)      # (G, B, Lp)
+        cnt = pk & 127
+        overflow = jnp.max(cnt, axis=2) > cnt_cap        # (G, B)
+        idxm = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+        limit = (dsz - msl)[:, None]
+        hit = (cnt > 0) & (idxm < limit)[None]
+        nh_src = jnp.where(hit, idxm[None], dsz[None, :, None])
+        nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 2), axis=2), 2)
+        mask = (idxm < dsz[:, None])[None]
+        cd = jnp.where(mask, pk, 0)
+        nhm = jnp.where(mask, nh, dsz[None, :, None])
+        if Lp < LqP:
+            pad = LqP - Lp
+            qsel = jnp.concatenate(
+                [qsel, jnp.full((B, pad), SYM_N_SEQ, jnp.int32)], axis=1)
+            cd = jnp.concatenate(
+                [cd, jnp.zeros((G, B, pad), jnp.int32)], axis=2)
+            nhm = jnp.concatenate(
+                [nhm, jnp.zeros((G, B, pad), jnp.int32)], axis=2)
+        scal = (jnp.zeros((G, B, 128), jnp.int32)
+                .at[:, :, 0].set(dsz[None, :])
+                .at[:, :, 1].set(nrs[:, None]))
+        # --- kernel: (G, B) grid, query index innermost -------------------
+        ev, nev = pl.pallas_call(
+            kern,
+            grid=(G, B),
+            out_shape=(jax.ShapeDtypeStruct((G, B, 1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((G, B, 1, 1), jnp.int32)),
+            in_specs=[
+                pl.BlockSpec((None, None, 1, 128), pergb,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1, LrP), sharedg,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perqb,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, KaP), sharedg,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 1, LqP), pergb,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 1, LqP), pergb,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, WinP), sharedg,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 512), fixed2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((CEF, 2 * CEF), fixed2,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((None, None, 1, EvL), pergb,
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((None, None, 1, 1), pergb,
+                                    memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(scal[:, :, None, :], refbuf[:, None, :], qsel[:, None, :],
+          poslist[:, None, :], cd[:, :, None, :], nhm[:, :, None, :],
+          win[:, None, :], cmat,
+          jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
+        ev2 = ev[:, :, 0, :]
+        nev_flat = nev[:, :, 0, 0]
+        if LqP <= (1 << 16):
+            evr = ev2.reshape(G, B, EvL // 8, 8)
+            p0 = evr[..., 0] | (evr[..., 2] << 16)
+            p2 = evr[..., 3] | (evr[..., 4] << 16)
+            ev2 = jnp.stack([p0, evr[..., 1], p2],
+                            axis=-1).reshape(G, B, (EvL // 8) * 3)
+        return ev2, nev_flat, overflow
+
+    return step
 
 
 @lru_cache(maxsize=32)
@@ -1524,6 +1755,9 @@ class PallasAll2All:
 
     CNT_CAP = 112
 
+    #: composite-symbol budget above which a reference row runs natively
+    MAX_REF_SYMS = 700_000
+
     #: queries interleaved per kernel program (v4 lockstep kernel when >1)
     KPAIR = 1
 
@@ -1538,6 +1772,12 @@ class PallasAll2All:
         self.kpair = self.KPAIR if kpair is None else kpair
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
+        # run-wide reference buckets over the device-eligible refs: every
+        # group dispatch then shares one executable (see PallasGroupIndex)
+        nr_all = [2 * len(c) + 3 * cfg.mrd for c in codes]
+        nr_ok = [v for v in nr_all if v <= self.MAX_REF_SYMS] or [4096]
+        self.LrP_ref = _bucket(max(nr_ok) + 1024)
+        self.KaP_ref = _bucket(max(nr_ok) + 256, lo=1024)
         self.LqP = _bucket(int(self.dszs.max()) + 1024)
         # tightest 1/2- or 3/4-bucket that holds every query + margin:
         # the per-dispatch prep (ptab gather, cummin) runs at this width
@@ -1612,6 +1852,22 @@ class PallasAll2All:
                 ev, nev, overflow = _run_step_aot(step, key_parts, args)
         return ev, nev, overflow
 
+    def _decode_ev(self, row: np.ndarray, n_ev: int, bad: bool):
+        """One query's event rows from a downloaded buffer row (or None
+        for the native-fallback cases)."""
+        if bad or n_ev < 0 or n_ev > self.EV_CAP:
+            return None
+        if self.packed_ev:
+            u = row[:n_ev * 3].view(np.uint32).reshape(n_ev, 3)
+            rec = np.zeros((n_ev, 8), np.int32)
+            rec[:, 0] = u[:, 0] & 0xFFFF
+            rec[:, 2] = u[:, 0] >> 16
+            rec[:, 1] = u[:, 1].view(np.int32)  # bpos: full 32 bits
+            rec[:, 3] = u[:, 2] & 0xFFFF
+            rec[:, 4] = u[:, 2] >> 16
+            return rec
+        return row[:n_ev * 8].reshape(n_ev, 8)
+
     def collect(self, handles):
         """Download results of a dispatch_range call -> event-log list."""
         ev, nev, overflow = handles
@@ -1620,24 +1876,57 @@ class PallasAll2All:
             nev_h, ovf = jax.device_get((nev, overflow))
             mx = max(int(nev_h.max(initial=0)), 16) * stride
             ev_h = np.asarray(ev[:, :mx])
-        out = []
-        for b in range(self.B):
-            n_ev = int(nev_h[b])
-            if ovf[b] or n_ev < 0 or n_ev > self.EV_CAP:
-                out.append(None)
-                continue
-            if self.packed_ev:
-                u = ev_h[b, :n_ev * 3].view(np.uint32).reshape(n_ev, 3)
-                rec = np.zeros((n_ev, 8), np.int32)
-                rec[:, 0] = u[:, 0] & 0xFFFF
-                rec[:, 2] = u[:, 0] >> 16
-                rec[:, 1] = u[:, 1].view(np.int32)  # bpos: full 32 bits
-                rec[:, 3] = u[:, 2] & 0xFFFF
-                rec[:, 4] = u[:, 2] >> 16
-                out.append(rec)
+        return [self._decode_ev(ev_h[b], int(nev_h[b]), bool(ovf[b]))
+                for b in range(self.B)]
+
+    def build_group_index(self, r_list, device=None):
+        """Stacked device index for a reference group. r == -1 entries are
+        cheap dummy slots (padding the final group so every dispatch uses
+        the ONE run-wide executable instead of compiling a remainder-G
+        variant)."""
+        if device is None:
+            device = self.devices[0]
+        dummy = np.zeros(16, np.uint8)
+        return PallasGroupIndex(
+            [self.codes[r] if r >= 0 else dummy for r in r_list],
+            self.params, interpret=self.interpret, device=device,
+            LrP=self.LrP_ref, KaP=self.KaP_ref)
+
+    def dispatch_group(self, gidx: PallasGroupIndex, lo: int, device=None):
+        """One fused dispatch for G references x queries [lo, lo+B)."""
+        cfg = self.cfg
+        if device is None:
+            device = self.devices[0]
+        B = self.B
+        key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
+                     gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
+                     self.LqPrep)
+        with jax.enable_x64(False):
+            step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
+                                   gidx.WinP, B, gidx.G, self.CNT_CAP,
+                                   self.EV_CAP, self.interpret,
+                                   self.LqPrep)
+            args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
+                    gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
+            if self.interpret or len(self.devices) > 1:
+                ev, nev, overflow = step(*args)
             else:
-                out.append(ev_h[b, :n_ev * 8].reshape(n_ev, 8))
-        return out
+                ev, nev, overflow = _run_step_aot(step, key_parts, args)
+        return ev, nev, overflow
+
+    def collect_group(self, handles):
+        """Download a dispatch_group result -> per-(ref, query) event-log
+        lists: out[g][b]."""
+        ev, nev, overflow = handles
+        G = nev.shape[0]
+        stride = 3 if self.packed_ev else 8
+        with jax.enable_x64(False):
+            nev_h, ovf = jax.device_get((nev, overflow))
+            mx = max(int(nev_h.max(initial=0)), 16) * stride
+            ev_h = np.asarray(ev[:, :, :mx])
+        return [[self._decode_ev(ev_h[g, b], int(nev_h[g, b]),
+                                 bool(ovf[g, b]))
+                 for b in range(self.B)] for g in range(G)]
 
     def run_range(self, r: int, lo: int):
         return self.collect(self.dispatch_range(r, lo))

@@ -24,6 +24,9 @@ from lzani_tpu.ops import pallas_engine as pe
 VIR61 = "/root/reference/test/vir61"
 PHASES = ["base", "ebuild", "rundet", "diag", "tiepack", "ext", "anchor",
           "seedfix", "reduce", "conds"]
+if os.environ.get("PROF_PHASES"):
+    PHASES = ["base"] + [p for p in os.environ["PROF_PHASES"].split(",")
+                         if p != "base"]
 REFS = (0, 30)
 
 

@@ -127,6 +127,30 @@ def main():
             return jnp.sum(qkm) + jnp.sum(qsel)
 
         @jax.jit
+        def prep_gather(refbuf_p, Qpacked, lo_row):
+            # join + query kmers + the ptab gather (everything but cummin)
+            refbuf = pe.dev_unpack3(refbuf_p, LrP)
+            km = pe.dev_kmer_stream(refbuf, mal)[0]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
+            keys = jnp.where(km >= 0, km, nk)
+            _, pos_s = jax.lax.sort((keys, pos), num_keys=1)
+            count = jnp.zeros(nk + 1, jnp.int32).at[keys].add(1)
+            count = count[:nk]
+            start = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+            ptab = jnp.where(count > 0,
+                             (start << 7) | jnp.minimum(count, 127), 0)
+            Lp = LqPrep or LqP
+            Lp3 = min(-(-Lp // 3) + 128, Qpacked.shape[1])
+            qsel_p = jax.lax.dynamic_slice(
+                Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
+            qsel = pe.dev_unpack3(qsel_p[:, :Lp3], Lp)
+            qkm = pe.dev_kmer_stream(qsel, mal)
+            qk = jnp.where(qkm >= 0, qkm, 0)
+            pk = jnp.where(qkm >= 0, ptab[qk], 0)
+            return jnp.sum(pk) + jnp.sum(pos_s[:KaP]) + jnp.sum(qsel)
+
+        @jax.jit
         def noop(x):
             return jnp.sum(x) * 0 + 1
 
@@ -141,19 +165,24 @@ def main():
         f_prep = runf(prep_only, *args)
         f_join = runf(prep_join, idx.refbuf_p)
         f_qkm = runf(prep_qkm, eng.Q[dev], np.int32(0))
+        f_gath = runf(prep_gather, idx.refbuf_p, eng.Q[dev], np.int32(0))
         f_noop = runf(noop, idx.win_flat)
-        for f in (f_prep, f_join, f_qkm, f_noop):
+        for f in (f_prep, f_join, f_qkm, f_gath, f_noop):
             f()
 
         t_full = t_med(full)
         t_prep = t_med(f_prep)
         t_join = t_med(f_join)
         t_qkm = t_med(f_qkm)
+        t_gath = t_med(f_gath)
         t_noop = t_med(f_noop)
 
     print(f"noop (RTT)      : {t_noop*1e3:8.1f} ms", flush=True)
     print(f"join build      : {(t_join-t_noop)*1e3:8.1f} ms", flush=True)
     print(f"query kmers     : {(t_qkm-t_noop)*1e3:8.1f} ms", flush=True)
+    print(f"gather (ptab)   : {(t_gath-t_join-t_qkm+t_noop)*1e3:8.1f} ms",
+          flush=True)
+    print(f"cummin (nh)     : {(t_prep-t_gath)*1e3:8.1f} ms", flush=True)
     print(f"prep total      : {(t_prep-t_noop)*1e3:8.1f} ms "
           f"(gather+cummin ~= {(t_prep-t_join-t_qkm+t_noop)*1e3:.1f})",
           flush=True)
