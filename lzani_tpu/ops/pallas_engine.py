@@ -43,8 +43,15 @@ CAP = 32          # band LCE cap (level-1); longer runs escalate to exact
 CAP2 = 512        # escalation strip depth per round
 QROWS = 80        # v4 band matrix rows  (>= D-1 + CAP = 72 at defaults)
 RCOLS = 256       # v4 band matrix cols  (>= W-1 + CAP = 206 at defaults)
-WROWS = 128       # v3 chained-window rows (one aligned query load)
-WCOLS = 384       # v3 chained-window cols
+WROWS = 80        # v3 window rows (<= 128: one aligned query load)
+WCOLS = 256       # v3 window cols
+# Window sizing (measured, round 2): a (128, 384) window chained only
+# 1.07 events/window on vir61 (median event advance exceeds any viable
+# row margin), while its 2.25x tiles made every per-iteration mask op
+# ~50% dearer — net neutral. (80, 256) keeps the op costs at the flat
+# per-op floor; the chain loop structure remains (it costs nothing when
+# it exits after one event, and still serves spurious-anchor retries and
+# the small-advance chains that do fit).
 CH = 512          # chunk for exact-LCE / extension scans
 EV_STRIDE = 8     # int32 per event record
 
@@ -561,35 +568,52 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # re-contested exactly with the uncapped winner as the incumbent,
         # extending the old lmax==CAP escalation to edge-truncated runs.
         def sync_window(state0):
+            # window counter in the high bits of the n_ss profiling slot
+            # (low 16 bits keep counting inner iterations): chain rate =
+            # iterations / windows, read from the event-buffer tail
+            state0 = (state0[:9] + (state0[9] + (1 << 16),) + state0[10:])
             i0 = state0[0]
             b0 = jnp.maximum(state0[1] - state0[2], 0)
 
             qrow = align_load(qbuf, i0, 128)
             rrow = align_load(refbuf, b0, WCOLS)
-            qcol = to_col(qrow, cmat[:, 0:128])          # (128, 1)
+            qcol = to_col(qrow, cmat[:, 0:128])[:WROWS]  # (WROWS, 1)
             E = (qcol == rrow).astype(I32)               # (WROWS, WCOLS)
             if "ebuild" in PROF_DOUBLE:
                 qrow2 = align_load(qbuf, i0 + z, 128)
                 rrow2 = align_load(refbuf, b0 + z, WCOLS)
-                E = jnp.minimum(E, (to_col(qrow2, cmat[:, 0:128])
+                E = jnp.minimum(E, (to_col(qrow2, cmat[:, 0:128])[:WROWS]
                                     == rrow2).astype(I32))
 
             rowi = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
             coli = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
             S = diag_lce(E, CAP, rowi, coli)
             if "diag" in PROF_DOUBLE:
-                S = jnp.minimum(S, diag_lce(E + z, rowi * 0 + CAP, rowi,
-                                            coli))
-            # per-cell saturation threshold: CAP, or the matrix edge for
-            # cells whose diagonal runway is shorter (geo cells always
-            # keep >= msl_eff of runway — see the factory asserts)
+                S = jnp.minimum(S, diag_lce(E + z, CAP, rowi, coli))
+            # window-constant hoists: per-cell saturation threshold (CAP
+            # or the matrix edge; geo cells always keep >= msl_eff of
+            # runway — see the factory asserts), the seed/capped S tests,
+            # the tie-pack column term, and the col-row diagonal index.
             Scap = jnp.minimum(jnp.minimum(WROWS - rowi, WCOLS - coli),
                                CAP)
+            SgeM = S >= msl
+            SU = SgeM & (S < Scap)       # uncapped seed cells
+            SC = SgeM & (S >= Scap)      # capped cells (exact re-contest)
+            S18 = S << 18                # combined-reduce length bits
+            # capped cells dominate the combined reduce via bit 24: one
+            # reduce yields the uncapped winner (rows w/o capped cells)
+            # OR the capped flag (fields then unusable; the rare contest
+            # path recomputes its own incumbent)
+            Sbase = jnp.where(SC, 1 << 24, 0) + S18
+            c511 = 511 - coli
+            cmr = coli - rowi
 
             cvec = align_load(cand, i0, 128)             # lanes d (packed)
             anch_col = to_col((cvec > 0).astype(I32),
-                              cmat[:, 0:128])            # (WROWS, 1)
+                              cmat[:, 0:128])[:WROWS]    # (WROWS, 1)
             di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
+            di23 = di << 23
+            anch_bit = jnp.where(anch_col > 0, 1 << 22, 0)
 
             def win_body(carry):
                 st, a_min, _done = carry
@@ -603,44 +627,40 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 c_lo = (pred - lit_run) - b0             # <= 0 at entry
                 off = pred - d_base - b0
                 live = (rowi >= d_base) & (rowi < d_base + D_eff)
-                geo = live & (coli >= c_lo) & (coli - rowi < off + mrd)
-                valid = geo & (S >= msl)
-                capped = valid & (S >= Scap)
-                dist = jnp.abs(coli - rowi - off)
+                geo = live & (coli >= c_lo) & (cmr < off + mrd)
+                dist = jnp.abs(cmr - off)
+                tie = ((127 - dist) << 9) | c511
+
+                def _row_reduce(base):
+                    # ONE combined reduce delivers the per-row uncapped
+                    # winner with the full tie-break (longest, then
+                    # nearest to the prediction, then smallest position:
+                    # bits 18-23 length, 9-15 (127-dist), 0-8 (511-col))
+                    # or, dominating via bit 24, the capped-cells flag.
+                    return jnp.max(
+                        jnp.where(geo & SgeM, base + tie, -1),
+                        axis=1, keepdims=True)
+
+                R1 = _row_reduce(Sbase)
+                if "tiepack" in PROF_DOUBLE:
+                    R1 = jnp.minimum(R1, _row_reduce(Sbase + (z << 18)))
+                cap_r = R1 >= (1 << 24)
+                lmax_r = (R1 >> 18) & 63
+                brel_r = 511 - (R1 & 511)
+                sf_r = ~cap_r & (R1 >= (msl << 18))
 
                 live1 = (di >= d_base) & (di < d_base + D_eff)
-                seed_any = jnp.max(jnp.where(valid, 1, 0), axis=1,
-                                   keepdims=True)
-                hit = ((seed_any > 0) | (anch_col > 0)) & live1
-
-                def _pack_rows(Sx):
-                    # per-row UNCAPPED winners (longest, then nearest,
-                    # then smallest position), packed so each attempt
-                    # costs one scalar sync: bits 23-29 row, 22 anchor-
-                    # present, 21 seed-found, 15-20 seed length, 6-14
-                    # window column, 5 row-has-capped-cells.
-                    SvU = jnp.where(valid & ~capped, Sx, -1)
-                    row_lmax = jnp.max(SvU, axis=1, keepdims=True)
-                    tie = jnp.where((SvU == row_lmax) & (row_lmax >= 0),
-                                    ((127 - dist) << 9) | (511 - coli), -1)
-                    row_tie = jnp.max(tie, axis=1, keepdims=True)
-                    row_brel = 511 - (row_tie & 511)
-                    sf = row_lmax >= msl
-                    cap_any = jnp.max(jnp.where(capped, 1, 0), axis=1,
-                                      keepdims=True)
-                    return jnp.where(
-                        hit,
-                        (di << 23)
-                        + jnp.where(anch_col > 0, 1 << 22, 0)
-                        + jnp.where(sf, (1 << 21) + (row_lmax << 15)
-                                    + (row_brel << 6), 0)
-                        + jnp.where(cap_any > 0, 1 << 5, 0),
-                        BIG)
-
-                packed_rows = _pack_rows(S)
-                if "tiepack" in PROF_DOUBLE:
-                    packed_rows = jnp.minimum(packed_rows,
-                                              _pack_rows(S + z))
+                hit = ((R1 >= (msl << 18)) | (anch_col > 0)) & live1
+                # packed per-row attempt record: bits 23-29 row, 22
+                # anchor-present, 21 seed-found, 15-20 seed length, 6-14
+                # window column, 5 row-has-capped-cells
+                packed_rows = jnp.where(
+                    hit,
+                    di23 + anch_bit
+                    + jnp.where(sf_r, (1 << 21) + (lmax_r << 15)
+                                + (brel_r << 6), 0)
+                    + jnp.where(cap_r, 1 << 5, 0),
+                    BIG)
                 pk = jnp.min(jnp.where(di >= a_min, packed_rows, BIG))
                 if "reduce" in PROF_DOUBLE:
                     pk = jnp.minimum(
@@ -666,19 +686,26 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     i_ev = i0 + dd
                     pred_dd = pred + (dd - d_base)
                     s_pos0 = b0 + brel_u
-                    dst0 = jnp.abs(s_pos0 - pred_dd)
 
                     def contest(args, zz=0):
                         # exact re-contest of the row's capped cells in
-                        # ascending column order, seeded with the uncapped
-                        # winner as the incumbent (full tie-break incl.
-                        # the smallest-position rule)
-                        blen0 = jnp.where(sf_u, lmax_u, 0)
-                        bpos0 = jnp.where(sf_u, s_pos0, 0)
-                        bdst0 = jnp.where(sf_u, dst0, BIG)
+                        # ascending column order, seeded with the row's
+                        # uncapped winner as the incumbent (full
+                        # tie-break incl. the smallest-position rule).
+                        # The incumbent is recomputed here — pk's seed
+                        # fields are unset for capped rows (bit-24
+                        # dominance in the combined reduce).
+                        rmask = (rowi == dd) & geo
+                        RU = jnp.max(jnp.where(rmask & SU, S18 + tie, -1))
+                        sfu2 = RU >= (msl << 18)
+                        bl0 = jnp.where(sfu2, (RU >> 18) & 63, 0)
+                        bp0 = jnp.where(sfu2, b0 + (511 - (RU & 511)), 0)
+                        blen0 = bl0
+                        bpos0 = bp0
+                        bdst0 = jnp.where(sfu2, jnp.abs(bp0 - pred_dd),
+                                          BIG)
                         capped_col = jnp.where(
-                            (rowi == dd) & capped & (S + zz >= Scap),
-                            coli, BIG)
+                            rmask & SgeM & (S + zz >= Scap), coli, BIG)
 
                         def nxt(c0):
                             return jnp.min(
