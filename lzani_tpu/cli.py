@@ -45,7 +45,7 @@ Options - LZ-parsing-related:
 Options - other:
   -t, --threads <int>            - no of threads; 0 means auto-detect (default: 0)
   -V, --verbose <int>            - verbosity level (default: 1)
-      --backend <name>           - compute backend: native | pallas | jax | auto (default: auto)
+      --backend <name>           - compute backend: native | pallas | hybrid | jax | auto (default: auto)
 """
 
 
@@ -147,7 +147,8 @@ def parse_args(argv: list[str]) -> Params | None:
                 p.output_in_percent = _parse_bool(a, argv[i + 1])
                 i += 2
             elif a == "--backend" and i + 1 < len(argv):
-                if argv[i + 1] not in ("native", "jax", "pallas", "auto"):
+                if argv[i + 1] not in ("native", "jax", "pallas", "hybrid",
+                                       "auto"):
                     print(f"Unknown backend: {argv[i + 1]}", file=sys.stderr)
                     raise SystemExit(1)
                 p.backend = argv[i + 1]

@@ -988,8 +988,13 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
                     const lza_cfg* cfg, int32_t n_threads, int32_t* out,
                     const char* region_path, int32_t flt_enabled,
                     double flt_gani, double flt_ani, double flt_qcov,
-                    int64_t* progress) {
+                    int64_t* progress, int64_t* ext_next_row) {
     // progress (optional, polled by the host): [0]=rows done, [1]=pairs done
+    // ext_next_row (optional): external shared row counter — when given,
+    // workers claim rows from it instead of the local atomic, so another
+    // scheduler (the TPU driver's hybrid mode) can steal rows from the
+    // same queue (the P1 dynamic-row scheduling of lz_matcher.cpp:184-270
+    // extended across heterogeneous executors)
     std::atomic<int64_t> next_row{0};
     std::FILE* rf = nullptr;
     std::mutex rf_mtx;
@@ -1004,7 +1009,9 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
         std::vector<lza::Region> regs;
         std::vector<int32_t> rec;
         while (true) {
-            int64_t r = next_row.fetch_add(1);
+            int64_t r = ext_next_row
+                ? __atomic_fetch_add(ext_next_row, 1, __ATOMIC_SEQ_CST)
+                : next_row.fetch_add(1);
             if (r >= n) break;
             idx.build(seqs + offs[r], offs[r + 1] - offs[r], to_cfg(cfg));
             p.set_reference(idx);
@@ -1512,6 +1519,14 @@ int64_t lza_parse_kmerdb(const char* data, int64_t len, double thr,
 }
 
 // Build-info probe so Python can verify the ABI.
-int32_t lza_abi_version(void) { return 1; }
+// Atomic bulk claim against a shared row counter (the Python hybrid
+// scheduler's side of the ext_next_row protocol): returns the first of k
+// consecutively claimed rows. Claims past the end are how consumers learn
+// the queue is drained (caller checks the returned start against n).
+int64_t lza_claim_rows(int64_t* ctr, int64_t k) {
+    return __atomic_fetch_add(ctr, k, __ATOMIC_SEQ_CST);
+}
+
+int32_t lza_abi_version(void) { return 2; }
 
 }  // extern "C"

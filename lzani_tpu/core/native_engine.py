@@ -46,7 +46,7 @@ def get_lib():
         lib = ct.CDLL(_LIB)
 
         lib.lza_abi_version.restype = ct.c_int32
-        assert lib.lza_abi_version() == 1
+        assert lib.lza_abi_version() == 2
 
         lib.lza_parse_pair.restype = ct.c_int64
         lib.lza_parse_pair.argtypes = [
@@ -94,8 +94,10 @@ def get_lib():
             ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
             ct.POINTER(LzaCfg), ct.c_int32, ct.POINTER(ct.c_int32),
             ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
-            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
         ]
+        lib.lza_claim_rows.restype = ct.c_int64
+        lib.lza_claim_rows.argtypes = [ct.POINTER(ct.c_int64), ct.c_int64]
         lib.lza_format_results.restype = ct.c_int32
         lib.lza_format_results.argtypes = [
             ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int64),
@@ -294,12 +296,19 @@ def replay_factors(ref: np.ndarray, query: np.ndarray, params,
 
 def all2all(codes: list[np.ndarray], params, filter_csr=None,
             region_path: str | None = None,
-            progress: np.ndarray | None = None) -> np.ndarray:
+            progress: np.ndarray | None = None,
+            ext_counter: np.ndarray | None = None,
+            out: np.ndarray | None = None) -> np.ndarray:
     """Run the threaded all-vs-all engine.
 
     Returns int32 triples: dense mode shape (n, n-1, 3) where row r column c
     holds the parse of query (c if c<r else c+1) against reference r; filter
     mode shape (nnz, 3) aligned to the CSR ids array.
+
+    ext_counter: optional int64[1] shared row counter — workers claim rows
+    from it atomically, so a co-running scheduler (ops/pallas_engine's
+    hybrid mode) can steal rows from the same queue. out: optional caller
+    buffer to fill (hybrid mode shares one triples array across engines).
     """
     lib = get_lib()
     cfg = make_cfg(params)
@@ -314,11 +323,13 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
         indptr, ids = filter_csr
         indptr = np.ascontiguousarray(indptr, dtype=np.int64)
         ids = np.ascontiguousarray(ids, dtype=np.int32)
-        out = np.zeros((len(ids), 3), dtype=np.int32)
+        if out is None:
+            out = np.zeros((len(ids), 3), dtype=np.int32)
         ip = indptr.ctypes.data_as(ct.POINTER(ct.c_int64))
         idp = ids.ctypes.data_as(ct.POINTER(ct.c_int32))
     else:
-        out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
+        if out is None:
+            out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
         ip = None
         idp = None
 
@@ -333,6 +344,8 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
         flt.get("qcov", 0.0),
         progress.ctypes.data_as(ct.POINTER(ct.c_int64))
         if progress is not None else None,
+        ext_counter.ctypes.data_as(ct.POINTER(ct.c_int64))
+        if ext_counter is not None else None,
     )
     if rc != 0:
         raise RuntimeError(f"lza_all2all failed with code {rc}")

@@ -145,6 +145,25 @@ class Matcher:
                 if mon is not None:
                     stop.set()
                     mon.join()
+        elif backend == "hybrid":
+            # native thread pool + TPU engine stealing rows from one
+            # shared queue (every piece of silicon on the host)
+            _enable_compile_cache()
+            from .ops.pallas_engine import all2all_hybrid
+            prog_cb = None
+            if p.verbosity_level >= 2:
+                state = {"last": ""}
+
+                def prog_cb(done, total):
+                    s = f"Pairs: {100 * done // max(total, 1)}%"
+                    if s != state["last"]:
+                        print(s + "       ", end="\r", file=sys.stderr,
+                              flush=True)
+                        state["last"] = s
+
+            triples = all2all_hybrid(self.store.codes, p, filter_csr=csr,
+                                     region_path=region_path,
+                                     progress=prog_cb)
         elif backend == "pallas":
             _enable_compile_cache()
             from .ops.pallas_engine import all2all_pallas

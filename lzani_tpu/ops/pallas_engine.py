@@ -1160,6 +1160,52 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # production driver: all-vs-all on the device kernel + host replay
 # ---------------------------------------------------------------------------
 
+def _make_finalize(codes, params, out, rf, rf_lock):
+    """Shared per-pair finalizer: replay the device event log through the
+    native emission machinery (exact stats + regions), falling back to a
+    full native parse when the log is absent/invalid. Appends region
+    records (with the reference pre-filter, lz_matcher.cpp:115-138) to rf
+    under rf_lock. Thread-safe; used by both the pure-device and the
+    hybrid drivers."""
+    from ..core import native_engine
+
+    flt = params.output_filter
+    f_gani = flt.get("gani", 0.0)
+    f_ani = flt.get("ani", 0.0)
+    f_qcov = flt.get("qcov", 0.0)
+    want_regions = rf is not None
+
+    def finalize(r, q, ev, slot):
+        if ev is not None:
+            try:
+                stats, regs = native_engine.replay_events(
+                    codes[r], codes[q], params, ev,
+                    want_regions=want_regions)
+            except ValueError:
+                stats, regs = native_engine.parse_pair(
+                    codes[r], codes[q], params, want_regions=want_regions)
+        else:
+            stats, regs = native_engine.parse_pair(
+                codes[r], codes[q], params, want_regions=want_regions)
+        out[slot] = stats
+        if rf is not None:
+            m = int(regs[:, 4].sum()) if len(regs) else 0
+            l = int(regs[:, 5].sum()) if len(regs) else 0
+            q_len = len(codes[q])
+            gani = m / q_len
+            ani = m / (m + l) if (m + l) else 0.0
+            qcov = (m + l) / q_len
+            if not flt or (gani >= f_gani and ani >= f_ani
+                           and qcov >= f_qcov):
+                rec = np.concatenate(
+                    [np.array([r, q, len(regs)], np.int32),
+                     np.asarray(regs, np.int32).reshape(-1)])
+                with rf_lock:
+                    rec.tofile(rf)
+
+    return finalize
+
+
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
@@ -1191,11 +1237,6 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
     rf = open(region_path, "wb") if region_path else None
     rf_lock = threading.Lock()
-    flt = params.output_filter
-    f_gani = flt.get("gani", 0.0)
-    f_ani = flt.get("ani", 0.0)
-    f_qcov = flt.get("qcov", 0.0)
-    want_regions = rf is not None
     n = len(codes)
     if filter_csr is None:
         out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
@@ -1203,35 +1244,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         indptr, ids = filter_csr
         out = np.zeros((len(ids), 3), dtype=np.int32)
 
-    def finalize(r, q, ev, slot):
-        if ev is not None:
-            try:
-                stats, regs = native_engine.replay_events(
-                    codes[r], codes[q], params, ev,
-                    want_regions=want_regions)
-            except ValueError:
-                stats, regs = native_engine.parse_pair(
-                    codes[r], codes[q], params, want_regions=want_regions)
-        else:
-            stats, regs = native_engine.parse_pair(
-                codes[r], codes[q], params, want_regions=want_regions)
-        out[slot] = stats
-        if rf is not None:
-            # per-alignment dump with the reference pre-filter
-            # (lz_matcher.cpp:115-138)
-            m = int(regs[:, 4].sum()) if len(regs) else 0
-            l = int(regs[:, 5].sum()) if len(regs) else 0
-            q_len = len(codes[q])
-            gani = m / q_len
-            ani = m / (m + l) if (m + l) else 0.0
-            qcov = (m + l) / q_len
-            if not flt or (gani >= f_gani and ani >= f_ani
-                           and qcov >= f_qcov):
-                rec = np.concatenate(
-                    [np.array([r, q, len(regs)], np.int32),
-                     np.asarray(regs, np.int32).reshape(-1)])
-                with rf_lock:
-                    rec.tofile(rf)
+    finalize = _make_finalize(codes, params, out, rf, rf_lock)
 
     if devices is None:
         # local_devices: in a multi-host launch each process drives its
@@ -1400,6 +1413,294 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     if rf is not None:
         rf.close()
     return out
+
+
+def all2all_hybrid(codes, params, filter_csr=None, progress=None,
+                   region_path: str | None = None, devices=None,
+                   interpret: bool = False, cpu_threads: int | None = None,
+                   replay_threads: int = 0, stats: dict | None = None):
+    """Heterogeneous all-vs-all: the native C++ thread pool AND the TPU
+    event-log engine steal reference rows from ONE shared atomic queue
+    (lza_claim_rows / ext_next_row), writing into one shared triples
+    buffer. This extends the reference's dynamic row scheduling
+    (lz_matcher.cpp:184-270) across every piece of silicon on the host —
+    on a production TPU VM (hundreds of vCPUs + chips) total throughput is
+    the sum of both engines.
+
+    Scheduling: the device driver claims GROUP rows at a time and keeps a
+    short dispatch pipeline; a tail throttle stops it from claiming when
+    the CPU pool would finish the remaining queue before the device could
+    drain its own backlog (so hybrid is never slower than native alone by
+    more than one in-flight group). The device engine warms its
+    executable on a dummy group BEFORE first claim — through this
+    environment's tunnel a program's first execution costs ~80 s, and the
+    CPU must keep the whole queue meanwhile.
+
+    cpu_threads=0 degrades to all2all_pallas; no usable device degrades
+    to the native engine.
+    """
+    import copy
+    import ctypes as ct
+    import os
+    import threading
+    import time
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core import native_engine
+
+    n = len(codes)
+    if cpu_threads is None:
+        cpu_threads = max(1, (os.cpu_count() or 2) - 1)
+    if cpu_threads <= 0:
+        return all2all_pallas(codes, params, filter_csr=filter_csr,
+                              progress=progress, region_path=region_path,
+                              devices=devices, interpret=interpret,
+                              replay_threads=replay_threads)
+    if devices is None:
+        devices = jax.local_devices()[:1]
+    if not devices or (not interpret
+                       and devices[0].platform not in ("tpu",)):
+        return native_engine.all2all(codes, params, filter_csr=filter_csr,
+                                     region_path=region_path)
+
+    if filter_csr is None:
+        indptr = ids = None
+        out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
+        total_pairs = n * (n - 1)
+    else:
+        indptr, ids = filter_csr
+        out = np.zeros((len(ids), 3), dtype=np.int32)
+        total_pairs = len(ids)
+
+    lib = native_engine.get_lib()
+    counter = np.zeros(1, np.int64)
+    cptr = counter.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    rf = open(region_path + ".tpu", "wb") if region_path else None
+    rf_lock = threading.Lock()
+    finalize = _make_finalize(codes, params, out, rf, rf_lock)
+
+    # ---- CPU side: the native pool claims rows from the shared queue ----
+    p2 = copy.copy(params)
+    p2.no_threads = cpu_threads
+    nat_prog = np.zeros(2, np.int64)
+    nat_exc: list[BaseException] = []
+
+    def run_native():
+        try:
+            native_engine.all2all(codes, p2, filter_csr=filter_csr,
+                                  region_path=region_path,
+                                  progress=nat_prog,
+                                  ext_counter=counter, out=out)
+        except BaseException as e:  # surfaced after join
+            nat_exc.append(e)
+
+    # ---- device side ----------------------------------------------------
+    eng = PallasAll2All(codes, params, devices=devices,
+                        interpret=interpret)
+    GROUP = max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
+    depth = 2 * len(eng.devices)
+    mrd = params.max_dist_in_ref
+
+    def fits(r):
+        return 2 * len(codes[r]) + 3 * mrd <= eng.MAX_REF_SYMS
+
+    def wanted_of(r):
+        if filter_csr is None:
+            return {q: None for q in range(n) if q != r}
+        return {int(q): int(indptr[r]) + k
+                for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
+
+    tpu_pairs = 0
+    tpu_lock = threading.Lock()
+
+    def report():
+        if progress is not None:
+            progress(int(nat_prog[1]) + tpu_pairs, total_pairs)
+
+    nat_thread = threading.Thread(target=run_native, daemon=True)
+    t_run0 = time.perf_counter()
+    nat_thread.start()
+
+    nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
+    dl_pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=nthreads)
+    pending = []
+    drain_futs = []
+    inflight = deque()   # (r_list, subs_by_lo, handles, t_dispatch)
+    unit_q = deque()     # (r_list, lo, subs, idx_future, device)
+    # steady-state device unit service time: EMA of drain-to-drain
+    # intervals (pipeline-aware, unlike per-dispatch wall time)
+    t_group = [None]
+    t_last_drain = [None]
+
+    # warm the run-wide executable on an all-dummy group before claiming:
+    # the first execution in a process pays the program load, and rows
+    # claimed before warm-up would starve the faster CPU pool
+    warm_dev = eng.devices[0]
+    with jax.enable_x64(False):
+        gi = eng.build_group_index([-1] * GROUP, warm_dev)
+        t0 = time.perf_counter()
+        eng.collect_group(eng.dispatch_group(gi, 0, warm_dev))
+        warm_s = time.perf_counter() - t0
+
+    def drain(r_list, subs, handles, t_disp):
+        nonlocal tpu_pairs
+        evs = eng.collect_group(handles)
+        lo = subs[1]
+        n_sub = 0
+        for g, r in enumerate(r_list):
+            for q, w in subs[0][g].items():
+                slot = ((r, q - 1 if q > r else q)
+                        if filter_csr is None else w)
+                pending.append(pool.submit(finalize, r, q,
+                                           evs[g][q - lo], slot))
+                n_sub += 1
+        with tpu_lock:
+            tpu_pairs += n_sub
+            now = time.perf_counter()
+            if t_last_drain[0] is not None:
+                dt = now - t_last_drain[0]
+                t_group[0] = (dt if t_group[0] is None
+                              else 0.5 * t_group[0] + 0.5 * dt)
+            t_last_drain[0] = now
+        report()
+
+    greedy = bool(int(os.environ.get("LZANI_TPU_HYBRID_GREEDY", "0")))
+
+    def claim_rows():
+        """Claim the next GROUP rows unless the CPU pool would drain the
+        remaining queue before the device clears its backlog."""
+        rem = n - int(counter[0])
+        if rem <= 0:
+            return None
+        el = time.perf_counter() - t_run0
+        rows_done = int(nat_prog[0])
+        if not greedy and rows_done > 0 and el > 0:
+            cpu_rate = rows_done / el
+            tg = t_group[0] if t_group[0] is not None else 3.0 * warm_s
+            backlog = (len(inflight) + len(unit_q) + 1) * tg
+            if rem / cpu_rate < backlog:
+                return None
+        start = int(lib.lza_claim_rows(cptr, GROUP))
+        if start >= n:
+            return None
+        return list(range(start, min(start + GROUP, n)))
+
+    k_disp = 0
+    done_claiming = False
+    while True:
+        while not done_claiming and len(unit_q) < depth + 1:
+            rows = claim_rows()
+            if rows is None:
+                # a None from the tail throttle is not final — the CPU
+                # may stall (or the estimate may change); only an
+                # exhausted counter ends claiming for good
+                if n - int(counter[0]) <= 0:
+                    done_claiming = True
+                break
+            dev_rows = [r for r in rows if fits(r)]
+            big = [r for r in rows if not fits(r)]
+            for r in big:
+                # oversized reference: run its whole row through a
+                # single-threaded native call (one index build)
+                pending.append(pool.submit(_native_row, codes, params,
+                                           r, wanted_of(r), out,
+                                           filter_csr is None,
+                                           region_path, rf, rf_lock))
+            if not dev_rows:
+                continue
+            r_list = list(dev_rows)
+            while len(r_list) < GROUP:
+                r_list.append(-1)
+            dev = eng.device_for(k_disp)
+            gf = pool.submit(eng.build_group_index, r_list, dev)
+            wanteds = [wanted_of(r) if r >= 0 else {} for r in r_list]
+            for lo in range(0, eng.n_pad, eng.B):
+                subs = [{q: w for q, w in wanted.items()
+                         if lo <= q < lo + eng.B} for wanted in wanteds]
+                if any(subs):
+                    unit_q.append((r_list, lo, subs, gf, dev))
+        if not unit_q and not inflight:
+            if done_claiming:
+                break
+            # throttled: the CPU owns the tail; wait for it
+            if not nat_thread.is_alive():
+                done_claiming = n - int(counter[0]) <= 0
+                if done_claiming:
+                    break
+            time.sleep(0.02)
+            continue
+        if unit_q:
+            r_list, lo, subs, gf, dev = unit_q.popleft()
+            idx = gf.result()
+            t_disp = time.perf_counter()
+            handles = eng.dispatch_group(idx, lo, dev)
+            inflight.append((r_list, (subs, lo), handles, t_disp))
+            k_disp += 1
+        if len(inflight) >= depth or not unit_q:
+            if inflight:
+                drain_futs.append(dl_pool.submit(drain,
+                                                 *inflight.popleft()))
+
+    for f in drain_futs:
+        f.result()
+    nat_thread.join()
+    if nat_exc:
+        raise nat_exc[0]
+    for f in pending:
+        f.result()
+    pool.shutdown(wait=True)
+    dl_pool.shutdown(wait=True)
+    report()
+    if stats is not None:
+        stats["tpu_pairs"] = tpu_pairs
+        stats["cpu_rows"] = int(nat_prog[0])
+        stats["cpu_pairs"] = int(nat_prog[1])
+        stats["warm_s"] = warm_s
+        stats["t_unit_s"] = t_group[0]
+    if rf is not None:
+        rf.close()
+        # merge the device side's region records into the native file
+        # (records are self-delimiting and order-independent)
+        with open(region_path, "ab") as dst, \
+                open(region_path + ".tpu", "rb") as src:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        os.remove(region_path + ".tpu")
+    return out
+
+
+def _native_row(codes, params, r, wanted, out, dense, region_path,
+                rf, rf_lock):
+    """Hybrid helper: run one oversized reference row through the native
+    engine (single worker, one index build) into the shared buffer."""
+    from ..core import native_engine
+
+    n = len(codes)
+    qs = sorted(wanted.keys())
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[r + 1:] = len(qs)
+    csr = (indptr, np.array(qs, np.int32))
+    import copy
+    p1 = copy.copy(params)
+    p1.no_threads = 1
+    sub = native_engine.all2all(codes, p1, filter_csr=csr)
+    for k, q in enumerate(qs):
+        slot = (r, q - 1 if q > r else q) if dense else wanted[q]
+        out[slot] = sub[k]
+    if rf is not None:
+        # regions for the row via per-pair native parses (rare path)
+        fin = _make_finalize(codes, params,
+                             np.zeros((n, max(n - 1, 0), 3), np.int32)
+                             if dense else np.zeros((len(qs), 3), np.int32),
+                             rf, rf_lock)
+        for k, q in enumerate(qs):
+            fin(r, q, None, (r, q - 1 if q > r else q) if dense else k)
 
 
 # ---------------------------------------------------------------------------
