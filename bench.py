@@ -139,6 +139,24 @@ def main() -> int:
                 result["pallas_n_genomes"] = len(sub)
                 result["pallas_exact"] = bool(exact)
                 result["pallas_backend"] = jax.default_backend()
+
+                # hybrid (native pool + TPU stealing one row queue) —
+                # the executable is already loaded, so this costs only
+                # its run time. On wide production hosts this is the
+                # recommended backend; on this 4-vCPU bench host the
+                # device adds what the throttle lets it claim.
+                from lzani_tpu.ops.pallas_engine import all2all_hybrid
+
+                hst = {}
+                t0 = time.perf_counter()
+                hyb_out = all2all_hybrid(codes, p, stats=hst)
+                hyb_dt = time.perf_counter() - t0
+                result["hybrid_pairs_per_s"] = round(pairs / hyb_dt, 1)
+                result["hybrid_exact"] = bool(
+                    np.array_equal(hyb_out, ref_out))
+                result["hybrid_tpu_pairs"] = hst.get("tpu_pairs")
+                result["hybrid_vs_baseline"] = round(
+                    pairs / hyb_dt / baseline, 4)
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
 

@@ -811,6 +811,8 @@ static lza::Cfg to_cfg(const lza_cfg* c) {
     return lza::Cfg{c->mal, c->msl, c->mrd, c->mqd, c->reg, c->aw, c->am, c->ar};
 }
 
+int64_t lza_claim_head(int64_t* ctr);  // defined with lza_claim_tail below
+
 // Parse one (reference, query) pair. Fills stats[3] = {sym_in_matches,
 // sym_in_literals, components}. If `regions` is non-null, writes up to `cap`
 // regions as 6 int32s each {ref_lo, ref_hi, q_lo, q_hi, n_match, n_mismatch}
@@ -990,11 +992,13 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
                     double flt_gani, double flt_ani, double flt_qcov,
                     int64_t* progress, int64_t* ext_next_row) {
     // progress (optional, polled by the host): [0]=rows done, [1]=pairs done
-    // ext_next_row (optional): external shared row counter — when given,
-    // workers claim rows from it instead of the local atomic, so another
-    // scheduler (the TPU driver's hybrid mode) can steal rows from the
-    // same queue (the P1 dynamic-row scheduling of lz_matcher.cpp:184-270
-    // extended across heterogeneous executors)
+    // ext_next_row (optional): external shared two-ended row queue packed
+    // as {tail:32 | head:32} — when given, workers claim rows from the
+    // HEAD (longest-first, the reference's P7 schedule) while another
+    // scheduler (the TPU driver's hybrid mode) claims the short cheap
+    // rows from the TAIL of the same queue (the P1 dynamic-row
+    // scheduling of lz_matcher.cpp:184-270 extended across heterogeneous
+    // executors)
     std::atomic<int64_t> next_row{0};
     std::FILE* rf = nullptr;
     std::mutex rf_mtx;
@@ -1009,10 +1013,9 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
         std::vector<lza::Region> regs;
         std::vector<int32_t> rec;
         while (true) {
-            int64_t r = ext_next_row
-                ? __atomic_fetch_add(ext_next_row, 1, __ATOMIC_SEQ_CST)
-                : next_row.fetch_add(1);
-            if (r >= n) break;
+            int64_t r = ext_next_row ? lza_claim_head(ext_next_row)
+                                     : next_row.fetch_add(1);
+            if (r < 0 || r >= n) break;
             idx.build(seqs + offs[r], offs[r + 1] - offs[r], to_cfg(cfg));
             p.set_reference(idx);
 
@@ -1519,14 +1522,43 @@ int64_t lza_parse_kmerdb(const char* data, int64_t len, double thr,
 }
 
 // Build-info probe so Python can verify the ABI.
-// Atomic bulk claim against a shared row counter (the Python hybrid
-// scheduler's side of the ext_next_row protocol): returns the first of k
-// consecutively claimed rows. Claims past the end are how consumers learn
-// the queue is drained (caller checks the returned start against n).
-int64_t lza_claim_rows(int64_t* ctr, int64_t k) {
-    return __atomic_fetch_add(ctr, k, __ATOMIC_SEQ_CST);
+// Two-ended shared row queue, packed into one int64 as {tail:32|head:32}
+// (init = n << 32). CPU workers pop longest-first rows from the head;
+// the device scheduler pops the short cheap rows from the tail. CAS
+// loops keep the two ends from ever crossing, so every row is claimed
+// exactly once across heterogeneous executors.
+
+int64_t lza_claim_head(int64_t* ctr) {
+    int64_t cur = __atomic_load_n(ctr, __ATOMIC_SEQ_CST);
+    for (;;) {
+        int64_t h = cur & 0xffffffff, t = (uint64_t)cur >> 32;
+        if (h >= t) return -1;
+        if (__atomic_compare_exchange_n(ctr, &cur, cur + 1, false,
+                                        __ATOMIC_SEQ_CST,
+                                        __ATOMIC_SEQ_CST))
+            return h;
+    }
 }
 
-int32_t lza_abi_version(void) { return 2; }
+// Claim up to k rows from the tail; writes the claimed count to *got and
+// returns the first claimed row (the new tail), or -1 when empty.
+int64_t lza_claim_tail(int64_t* ctr, int64_t k, int64_t* got) {
+    int64_t cur = __atomic_load_n(ctr, __ATOMIC_SEQ_CST);
+    for (;;) {
+        int64_t h = cur & 0xffffffff, t = (uint64_t)cur >> 32;
+        int64_t avail = t - h;
+        if (avail <= 0) return -1;
+        int64_t kk = avail < k ? avail : k;
+        int64_t next = ((t - kk) << 32) | h;
+        if (__atomic_compare_exchange_n(ctr, &cur, next, false,
+                                        __ATOMIC_SEQ_CST,
+                                        __ATOMIC_SEQ_CST)) {
+            *got = kk;
+            return t - kk;
+        }
+    }
+}
+
+int32_t lza_abi_version(void) { return 3; }
 
 }  // extern "C"

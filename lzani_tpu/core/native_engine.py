@@ -46,7 +46,7 @@ def get_lib():
         lib = ct.CDLL(_LIB)
 
         lib.lza_abi_version.restype = ct.c_int32
-        assert lib.lza_abi_version() == 2
+        assert lib.lza_abi_version() == 3
 
         lib.lza_parse_pair.restype = ct.c_int64
         lib.lza_parse_pair.argtypes = [
@@ -96,8 +96,11 @@ def get_lib():
             ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
             ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
         ]
-        lib.lza_claim_rows.restype = ct.c_int64
-        lib.lza_claim_rows.argtypes = [ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.lza_claim_head.restype = ct.c_int64
+        lib.lza_claim_head.argtypes = [ct.POINTER(ct.c_int64)]
+        lib.lza_claim_tail.restype = ct.c_int64
+        lib.lza_claim_tail.argtypes = [
+            ct.POINTER(ct.c_int64), ct.c_int64, ct.POINTER(ct.c_int64)]
         lib.lza_format_results.restype = ct.c_int32
         lib.lza_format_results.argtypes = [
             ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int64),
@@ -305,10 +308,12 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
     holds the parse of query (c if c<r else c+1) against reference r; filter
     mode shape (nnz, 3) aligned to the CSR ids array.
 
-    ext_counter: optional int64[1] shared row counter — workers claim rows
-    from it atomically, so a co-running scheduler (ops/pallas_engine's
-    hybrid mode) can steal rows from the same queue. out: optional caller
-    buffer to fill (hybrid mode shares one triples array across engines).
+    ext_counter: optional int64[1] two-ended row queue packed as
+    {tail:32|head:32} (init n << 32) — workers pop longest-first rows
+    from the head while a co-running scheduler (ops/pallas_engine's
+    hybrid mode) pops the short cheap rows from the tail. out: optional
+    caller buffer to fill (hybrid mode shares one triples array across
+    engines).
     """
     lib = get_lib()
     cfg = make_cfg(params)

@@ -1420,21 +1420,34 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                    interpret: bool = False, cpu_threads: int | None = None,
                    replay_threads: int = 0, stats: dict | None = None):
     """Heterogeneous all-vs-all: the native C++ thread pool AND the TPU
-    event-log engine steal reference rows from ONE shared atomic queue
-    (lza_claim_rows / ext_next_row), writing into one shared triples
-    buffer. This extends the reference's dynamic row scheduling
-    (lz_matcher.cpp:184-270) across every piece of silicon on the host —
-    on a production TPU VM (hundreds of vCPUs + chips) total throughput is
-    the sum of both engines.
+    event-log engine pop reference rows from ONE shared two-ended atomic
+    queue, writing into one shared triples buffer. This extends the
+    reference's dynamic row scheduling (lz_matcher.cpp:184-270) across
+    every piece of silicon on the host — on a production TPU VM
+    (hundreds of vCPUs + chips) total throughput is the sum of both
+    engines.
 
-    Scheduling: the device driver claims GROUP rows at a time and keeps a
-    short dispatch pipeline; a tail throttle stops it from claiming when
-    the CPU pool would finish the remaining queue before the device could
-    drain its own backlog (so hybrid is never slower than native alone by
-    more than one in-flight group). The device engine warms its
-    executable on a dummy group BEFORE first claim — through this
-    environment's tunnel a program's first execution costs ~80 s, and the
-    CPU must keep the whole queue meanwhile.
+    Scheduling (all three points measured on this host):
+      * Two-ended queue (lza_claim_head / lza_claim_tail): the CPU pool
+        keeps the reference's longest-first schedule from the head; the
+        device — ~10x slower per pair here — claims the SHORT cheap
+        rows from the tail, so it can never capture an expensive head
+        row and become the critical path.
+      * Tail throttle: the device claims GROUP rows at a time and only
+        while the CPU pool would not finish the remaining queue before
+        the device could drain its own backlog (EMA of drain-to-drain
+        intervals), so hybrid never trails native alone by more than
+        one in-flight group.
+      * Asynchronous warm-up: a program's first execution in a process
+        costs ~80-275 s through this tunnel. The device joins the queue
+        only once a dummy-group dispatch completes, and the run returns
+        as soon as the queue drains — a slow warm-up never gates
+        completion (the warm thread is left to finish in the
+        background; stats['warm_pending'] reports it).
+
+    Failures migrate, not lose, work: a device dead at warm-up degrades
+    the run to pure-native; a device dying mid-run has its
+    claimed-but-unfinalized rows re-run on the host.
 
     cpu_threads=0 degrades to all2all_pallas; no usable device degrades
     to the native engine.
@@ -1451,7 +1464,10 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
 
     n = len(codes)
     if cpu_threads is None:
-        cpu_threads = max(1, (os.cpu_count() or 2) - 1)
+        # full pool: the driver's own threads are tunnel-bound (mostly
+        # idle) and the replay cost of device-claimed pairs is well
+        # under a core — oversubscription beats reserving one
+        cpu_threads = os.cpu_count() or 1
     if cpu_threads <= 0:
         return all2all_pallas(codes, params, filter_csr=filter_csr,
                               progress=progress, region_path=region_path,
@@ -1474,8 +1490,13 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         total_pairs = len(ids)
 
     lib = native_engine.get_lib()
-    counter = np.zeros(1, np.int64)
+    # two-ended row queue packed as {tail:32|head:32}
+    counter = np.array([n << 32], np.int64)
     cptr = counter.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    def queue_rem():
+        v = int(counter[0])
+        return (v >> 32) - (v & 0xFFFFFFFF)
 
     rf = open(region_path + ".tpu", "wb") if region_path else None
     rf_lock = threading.Lock()
@@ -1497,14 +1518,17 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
             nat_exc.append(e)
 
     # ---- device side ----------------------------------------------------
-    eng = PallasAll2All(codes, params, devices=devices,
-                        interpret=interpret)
+    # NB: engine construction (query-matrix packing + upload) happens in
+    # the warm thread, off the run's critical path — built here it
+    # measurably depressed the native pool while the device could not
+    # contribute yet
+    eng = None
     GROUP = max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
-    depth = 2 * len(eng.devices)
+    depth = 2 * len(devices)
     mrd = params.max_dist_in_ref
 
     def fits(r):
-        return 2 * len(codes[r]) + 3 * mrd <= eng.MAX_REF_SYMS
+        return 2 * len(codes[r]) + 3 * mrd <= PallasAll2All.MAX_REF_SYMS
 
     def wanted_of(r):
         if filter_csr is None:
@@ -1512,8 +1536,15 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         return {int(q): int(indptr[r]) + k
                 for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
 
-    tpu_pairs = 0
+    tpu_pairs = 0       # drained (event logs downloaded)
+    tpu_claimed = 0     # pairs on claimed device rows
+    tpu_done = [0]      # fully finalized (replayed + stored)
     tpu_lock = threading.Lock()
+
+    def fin_track(r, q, ev, slot):
+        finalize(r, q, ev, slot)
+        with tpu_lock:
+            tpu_done[0] += 1
 
     def report():
         if progress is not None:
@@ -1535,15 +1566,40 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     t_group = [None]
     t_last_drain = [None]
 
-    # warm the run-wide executable on an all-dummy group before claiming:
-    # the first execution in a process pays the program load, and rows
-    # claimed before warm-up would starve the faster CPU pool
-    warm_dev = eng.devices[0]
-    with jax.enable_x64(False):
-        gi = eng.build_group_index([-1] * GROUP, warm_dev)
-        t0 = time.perf_counter()
-        eng.collect_group(eng.dispatch_group(gi, 0, warm_dev))
-        warm_s = time.perf_counter() - t0
+    verbosity = getattr(params, "verbosity_level", 1)
+
+    def _warn(msg):
+        if verbosity >= 1:
+            import sys
+            print(msg, file=sys.stderr)
+
+    # construct the engine and warm the run-wide executable on an
+    # all-dummy group before claiming (the first execution in a process
+    # pays the program load, and rows claimed before warm-up would
+    # starve the faster CPU pool) — ASYNCHRONOUSLY: a cold compile/load
+    # must never gate a run the CPU pool can finish by itself
+    warm_state: dict = {"s": None, "ok": None}
+
+    def _warm():
+        nonlocal eng
+        try:
+            with jax.enable_x64(False):
+                eng = PallasAll2All(codes, params, devices=devices,
+                                    interpret=interpret)
+                gi = eng.build_group_index([-1] * GROUP, eng.devices[0])
+                t0 = time.perf_counter()
+                eng.collect_group(eng.dispatch_group(gi, 0,
+                                                     eng.devices[0]))
+                warm_state["s"] = time.perf_counter() - t0
+                warm_state["ok"] = True
+        except Exception as e:  # device dead at startup: CPU owns the run
+            warm_state["ok"] = False
+            _warn(f"lz-ani-tpu: device warm-up failed "
+                  f"({type(e).__name__}: {e}); hybrid run continues on "
+                  f"the native pool alone")
+
+    warm_thread = threading.Thread(target=_warm, daemon=True)
+    warm_thread.start()
 
     def drain(r_list, subs, handles, t_disp):
         nonlocal tpu_pairs
@@ -1554,7 +1610,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
             for q, w in subs[0][g].items():
                 slot = ((r, q - 1 if q > r else q)
                         if filter_csr is None else w)
-                pending.append(pool.submit(finalize, r, q,
+                pending.append(pool.submit(fin_track, r, q,
                                            evs[g][q - lo], slot))
                 n_sub += 1
         with tpu_lock:
@@ -1568,84 +1624,191 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         report()
 
     greedy = bool(int(os.environ.get("LZANI_TPU_HYBRID_GREEDY", "0")))
+    debug = bool(int(os.environ.get("LZANI_TPU_HYBRID_DEBUG", "0")))
+
+    base_rate = [None]  # CPU-only pairs/s, sampled before the first claim
+    grp_pairs_est = max(1, GROUP * total_pairs // max(1, n))
+    nat_win = deque()   # (el, native pairs) samples for the rate window
 
     def claim_rows():
-        """Claim the next GROUP rows unless the CPU pool would drain the
-        remaining queue before the device clears its backlog."""
-        rem = n - int(counter[0])
+        """Claim up to GROUP rows from the tail (shortest refs) — but
+        only while the device demonstrably ADDS throughput. Three gates,
+        each added for a measured failure mode on this host:
+        (1) profitability feedback: total pairs/s (CPU+device) must stay
+            >= 97% of the CPU-only baseline — the driver's host-side tax
+            (tunnel downloads, replay, index builds) competes with the
+            native pool for cores, and on a narrow host it can displace
+            more native throughput than the device adds;
+        (2) one probe group until the first drain establishes the
+            device's service time (a cold burst of depth+1 groups made
+            the device the critical path on small sets);
+        (3) tail backlog: never claim what the CPU pool would finish
+            before the device could drain its own queue."""
+        rem = queue_rem()
         if rem <= 0:
             return None
         el = time.perf_counter() - t_run0
         rows_done = int(nat_prog[0])
-        if not greedy and rows_done > 0 and el > 0:
-            cpu_rate = rows_done / el
-            tg = t_group[0] if t_group[0] is not None else 3.0 * warm_s
-            backlog = (len(inflight) + len(unit_q) + 1) * tg
-            if rem / cpu_rate < backlog:
+        if not greedy:
+            # outstanding cap: the device's host-side tax (downloads,
+            # replay) is DEFERRED through queues — drain-time feedback
+            # alone let debt build invisibly and materialize at the
+            # end-of-run barrier (measured: -42% on a 300-genome set).
+            # Tether claims to true end-to-end completion instead.
+            if tpu_claimed - tpu_done[0] > 2 * grp_pairs_est:
                 return None
-        start = int(lib.lza_claim_rows(cptr, GROUP))
-        if start >= n:
+            if nat_thread.is_alive():
+                nat_now = int(nat_prog[1])
+                nat_win.append((el, nat_now))
+                while nat_win and el - nat_win[0][0] > 3.0:
+                    nat_win.popleft()
+                if base_rate[0] is None:
+                    # let the CPU-only baseline form first
+                    if rows_done < max(2, cpu_threads) or el <= 0:
+                        return None
+                    base_rate[0] = nat_now / el
+                else:
+                    # displacement monitor: if the native pool's rate
+                    # sags while the device works, the device's host-side
+                    # tax (tunnel I/O burns host CPU per byte here) is
+                    # eating more than it contributes — stop claiming.
+                    # On hardware with DMA transfers the sag is ~0 and
+                    # claims continue.
+                    e0, p0 = nat_win[0]
+                    sag = None
+                    if el - e0 >= 1.5:
+                        nat_rate_now = (nat_now - p0) / (el - e0)
+                        sag = nat_rate_now / base_rate[0]
+                    total = nat_now + tpu_done[0]
+                    if debug:
+                        print(f"[hybrid] claim? el={el:.2f} total={total} "
+                              f"thr={0.97 * base_rate[0] * el:.0f} "
+                              f"base={base_rate[0]:.0f} sag={sag} "
+                              f"tpu_done={tpu_done[0]}", flush=True)
+                    if sag is not None and sag < 0.93:
+                        return None
+                    if total < 0.97 * base_rate[0] * el:
+                        return None
+            if t_group[0] is None and (len(inflight) + len(unit_q)) >= 1:
+                return None
+            if rows_done > 0 and el > 0:
+                cpu_rate = rows_done / el
+                # a real group costs ~2.5-4x the all-dummy warm dispatch
+                tg = (t_group[0] if t_group[0] is not None
+                      else 4.0 * (warm_state["s"] or 1.0))
+                backlog = (len(inflight) + len(unit_q) + 1) * tg
+                if rem / cpu_rate < backlog:
+                    return None
+        got = ct.c_int64(0)
+        start = int(lib.lza_claim_tail(cptr, GROUP, ct.byref(got)))
+        if start < 0:
             return None
-        return list(range(start, min(start + GROUP, n)))
+        return list(range(start, start + int(got.value)))
 
     k_disp = 0
     done_claiming = False
-    while True:
-        while not done_claiming and len(unit_q) < depth + 1:
-            rows = claim_rows()
-            if rows is None:
-                # a None from the tail throttle is not final — the CPU
-                # may stall (or the estimate may change); only an
-                # exhausted counter ends claiming for good
-                if n - int(counter[0]) <= 0:
-                    done_claiming = True
-                break
-            dev_rows = [r for r in rows if fits(r)]
-            big = [r for r in rows if not fits(r)]
-            for r in big:
-                # oversized reference: run its whole row through a
-                # single-threaded native call (one index build)
-                pending.append(pool.submit(_native_row, codes, params,
-                                           r, wanted_of(r), out,
-                                           filter_csr is None,
-                                           region_path, rf, rf_lock))
-            if not dev_rows:
+    current = None  # unit popped but not yet in `inflight` (salvage set)
+    try:
+        while True:
+            if warm_state["ok"] is None:
+                # device still warming: the CPU owns the queue meanwhile,
+                # and if it drains everything the run ends WITHOUT
+                # waiting for the warm-up
+                if queue_rem() <= 0:
+                    break
+                time.sleep(0.05)
                 continue
-            r_list = list(dev_rows)
-            while len(r_list) < GROUP:
-                r_list.append(-1)
-            dev = eng.device_for(k_disp)
-            gf = pool.submit(eng.build_group_index, r_list, dev)
-            wanteds = [wanted_of(r) if r >= 0 else {} for r in r_list]
-            for lo in range(0, eng.n_pad, eng.B):
-                subs = [{q: w for q, w in wanted.items()
-                         if lo <= q < lo + eng.B} for wanted in wanteds]
-                if any(subs):
-                    unit_q.append((r_list, lo, subs, gf, dev))
-        if not unit_q and not inflight:
-            if done_claiming:
+            if warm_state["ok"] is False:
                 break
-            # throttled: the CPU owns the tail; wait for it
-            if not nat_thread.is_alive():
-                done_claiming = n - int(counter[0]) <= 0
+            while not done_claiming and len(unit_q) < depth + 1:
+                rows = claim_rows()
+                if rows is None:
+                    # a None from the tail throttle is not final — the
+                    # CPU may stall (or the estimate may change); only an
+                    # exhausted counter ends claiming for good
+                    if queue_rem() <= 0:
+                        done_claiming = True
+                    break
+                dev_rows = [r for r in rows if fits(r)]
+                big = [r for r in rows if not fits(r)]
+                for r in big:
+                    # oversized reference: run its whole row through a
+                    # single-threaded native call (one index build)
+                    pending.append(pool.submit(_native_row, codes, params,
+                                               r, wanted_of(r), out,
+                                               filter_csr is None,
+                                               region_path, rf, rf_lock))
+                if not dev_rows:
+                    continue
+                r_list = list(dev_rows)
+                while len(r_list) < GROUP:
+                    r_list.append(-1)
+                dev = eng.device_for(k_disp)
+                gf = pool.submit(eng.build_group_index, r_list, dev)
+                wanteds = [wanted_of(r) if r >= 0 else {} for r in r_list]
+                tpu_claimed += sum(len(w) for w in wanteds)
+                for lo in range(0, eng.n_pad, eng.B):
+                    subs = [{q: w for q, w in wanted.items()
+                             if lo <= q < lo + eng.B} for wanted in wanteds]
+                    if any(subs):
+                        unit_q.append((r_list, lo, subs, gf, dev))
+            if not unit_q and not inflight:
                 if done_claiming:
                     break
-            time.sleep(0.02)
-            continue
-        if unit_q:
-            r_list, lo, subs, gf, dev = unit_q.popleft()
-            idx = gf.result()
-            t_disp = time.perf_counter()
-            handles = eng.dispatch_group(idx, lo, dev)
-            inflight.append((r_list, (subs, lo), handles, t_disp))
-            k_disp += 1
-        if len(inflight) >= depth or not unit_q:
-            if inflight:
-                drain_futs.append(dl_pool.submit(drain,
-                                                 *inflight.popleft()))
+                # throttled: the CPU owns the rest; wait for it
+                if not nat_thread.is_alive():
+                    done_claiming = queue_rem() <= 0
+                    if done_claiming:
+                        break
+                time.sleep(0.02)
+                continue
+            if unit_q:
+                current = unit_q.popleft()
+                r_list, lo, subs, gf, dev = current
+                idx = gf.result()
+                t_disp = time.perf_counter()
+                handles = eng.dispatch_group(idx, lo, dev)
+                inflight.append((r_list, (subs, lo), handles, t_disp))
+                current = None
+                k_disp += 1
+            if len(inflight) >= depth or not unit_q:
+                if inflight:
+                    u = inflight.popleft()
+                    drain_futs.append(
+                        (dl_pool.submit(drain, *u), u[0]))
 
-    for f in drain_futs:
-        f.result()
+        failed_rows: set[int] = set()
+        for f, rl in drain_futs:
+            try:
+                f.result()
+            except Exception as e:
+                _warn(f"lz-ani-tpu: device drain failed "
+                      f"({type(e).__name__}: {e}); group recovered on "
+                      f"the host")
+                failed_rows.update(r for r in rl if r >= 0)
+    except Exception as e:
+        # device failure mid-run: every claimed-but-unfinalized row is
+        # re-run on the host (finalize writes are idempotent, so a group
+        # that partially drained is safe to redo whole)
+        failed_rows = set()
+        if current is not None:
+            failed_rows.update(r for r in current[0] if r >= 0)
+        for u in unit_q:
+            failed_rows.update(r for r in u[0] if r >= 0)
+        for u in inflight:
+            failed_rows.update(r for r in u[0] if r >= 0)
+        for f, rl in drain_futs:
+            try:
+                f.result()
+            except Exception:
+                failed_rows.update(r for r in rl if r >= 0)
+        _warn(f"lz-ani-tpu: device failed mid-run ({type(e).__name__}: "
+              f"{e}); {len(failed_rows)} claimed rows recovered on the "
+              f"host, run continues on the native pool")
+    for r in sorted(failed_rows):
+        pending.append(pool.submit(_native_row, codes, params, r,
+                                   wanted_of(r), out, filter_csr is None,
+                                   region_path, rf, rf_lock))
     nat_thread.join()
     if nat_exc:
         raise nat_exc[0]
@@ -1658,7 +1821,8 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         stats["tpu_pairs"] = tpu_pairs
         stats["cpu_rows"] = int(nat_prog[0])
         stats["cpu_pairs"] = int(nat_prog[1])
-        stats["warm_s"] = warm_s
+        stats["warm_s"] = warm_state["s"]
+        stats["warm_pending"] = warm_state["ok"] is None
         stats["t_unit_s"] = t_group[0]
     if rf is not None:
         rf.close()

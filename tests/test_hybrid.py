@@ -106,6 +106,54 @@ def test_hybrid_regions_merge(tmp_path, greedy_claims):
     assert a == b
 
 
+def test_hybrid_recovers_from_device_failure(greedy_claims, slow_cpu,
+                                             monkeypatch):
+    """A device that dies after warm-up must not lose claimed rows: the
+    hybrid driver re-runs them on the host and the result stays exact."""
+    from lzani_tpu.ops.pallas_engine import PallasAll2All
+
+    p = Params()
+    rng = np.random.RandomState(21)
+    codes = _codes(10, rng)
+    ref = ne.all2all(codes, p)
+
+    calls = {"n": 0}
+    real = PallasAll2All.collect_group
+
+    def dying(self, handles):
+        calls["n"] += 1
+        if calls["n"] > 1:  # first call is the warm-up
+            raise RuntimeError("injected device crash")
+        return real(self, handles)
+
+    monkeypatch.setattr(PallasAll2All, "collect_group", dying)
+    stats = {}
+    out = all2all_hybrid(codes, p, interpret=True, cpu_threads=1,
+                         stats=stats)
+    assert calls["n"] > 1  # the device really claimed and then died
+    assert np.array_equal(ref, out)
+
+
+def test_hybrid_survives_dead_device_at_warmup(greedy_claims, monkeypatch):
+    """Warm-up failure degrades to a pure-native run."""
+    from lzani_tpu.ops.pallas_engine import PallasAll2All
+
+    def dead(self, gidx, lo, device=None):
+        raise RuntimeError("injected: device unreachable")
+
+    monkeypatch.setattr(PallasAll2All, "dispatch_group", dead)
+    p = Params()
+    rng = np.random.RandomState(22)
+    codes = _codes(8, rng)
+    ref = ne.all2all(codes, p)
+    stats = {}
+    out = all2all_hybrid(codes, p, interpret=True, cpu_threads=2,
+                         stats=stats)
+    assert np.array_equal(ref, out)
+    assert stats["tpu_pairs"] == 0
+    assert stats["cpu_pairs"] == 8 * 7
+
+
 def test_hybrid_cpu0_delegates_to_pallas(monkeypatch):
     """cpu_threads=0 must degrade to the pure device path."""
     import lzani_tpu.ops.pallas_engine as pe
@@ -122,32 +170,47 @@ def test_hybrid_cpu0_delegates_to_pallas(monkeypatch):
     assert called.get("yes") and r == "sentinel"
 
 
-def test_claim_rows_is_atomic_across_engines():
-    """The C helper and the native workers share one counter: claims never
-    overlap and cover every row exactly once."""
+def test_two_ended_claims_are_atomic_across_engines():
+    """Head poppers (the native workers) and tail claimers (the device
+    scheduler) share one packed {tail:32|head:32} word: claims never
+    overlap, the ends never cross, and every row is claimed exactly
+    once."""
     import ctypes as ct
     import threading
 
+    N = 5000
     lib = ne.get_lib()
-    ctr = np.zeros(1, np.int64)
+    ctr = np.array([N << 32], np.int64)
     ptr = ctr.ctypes.data_as(ct.POINTER(ct.c_int64))
     claimed = []
     lock = threading.Lock()
 
-    def claimer(k):
+    def head_popper():
         got = []
         while True:
-            s = int(lib.lza_claim_rows(ptr, k))
-            if s >= 5000:
+            r = int(lib.lza_claim_head(ptr))
+            if r < 0:
                 break
-            got.extend(range(s, min(s + k, 5000)))
+            got.append(r)
         with lock:
             claimed.extend(got)
 
-    ts = [threading.Thread(target=claimer, args=(k,))
-          for k in (1, 4, 4, 7)]
+    def tail_claimer(k):
+        got = []
+        while True:
+            cnt = ct.c_int64(0)
+            s = int(lib.lza_claim_tail(ptr, k, ct.byref(cnt)))
+            if s < 0:
+                break
+            got.extend(range(s, s + cnt.value))
+        with lock:
+            claimed.extend(got)
+
+    ts = ([threading.Thread(target=head_popper) for _ in range(2)]
+          + [threading.Thread(target=tail_claimer, args=(k,))
+             for k in (4, 7)])
     for t in ts:
         t.start()
     for t in ts:
         t.join()
-    assert sorted(claimed) == list(range(5000))
+    assert sorted(claimed) == list(range(N))
