@@ -1438,12 +1438,15 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         the device could drain its own backlog (EMA of drain-to-drain
         intervals), so hybrid never trails native alone by more than
         one in-flight group.
-      * Asynchronous warm-up: a program's first execution in a process
-        costs ~80-275 s through this tunnel. The device joins the queue
-        only once a dummy-group dispatch completes, and the run returns
-        as soon as the queue drains — a slow warm-up never gates
-        completion (the warm thread is left to finish in the
-        background; stats['warm_pending'] reports it).
+      * Lazy asynchronous warm-up: a program's first execution in a
+        process costs ~80-275 s through this tunnel, and even the
+        engine construction packs + uploads on host CPU the native
+        pool could use (measured -7% on vir61). Warm-up starts only
+        once the native pool's early rate projects the queue to
+        outlast LZANI_TPU_WARM_MIN_S (default 20 s); the device joins
+        the queue only once a dummy-group dispatch completes; and the
+        run returns as soon as the queue drains — a slow warm-up never
+        gates completion (stats['warm_pending'] reports it).
 
     Failures migrate, not lose, work: a device dead at warm-up degrades
     the run to pure-native; a device dying mid-run has its
@@ -1473,12 +1476,15 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                               progress=progress, region_path=region_path,
                               devices=devices, interpret=interpret,
                               replay_threads=replay_threads)
-    if devices is None:
-        devices = jax.local_devices()[:1]
-    if not devices or (not interpret
-                       and devices[0].platform not in ("tpu",)):
+    if devices is not None and (
+            not devices or (not interpret
+                            and devices[0].platform not in ("tpu",))):
         return native_engine.all2all(codes, params, filter_csr=filter_csr,
                                      region_path=region_path)
+    # devices=None is resolved INSIDE the warm thread: on this backend
+    # first device discovery costs seconds (axon init), which must not
+    # gate the native pool start (and is never paid on runs too small
+    # for the device to profit)
 
     if filter_csr is None:
         indptr = ids = None
@@ -1524,7 +1530,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     # contribute yet
     eng = None
     GROUP = max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
-    depth = 2 * len(devices)
+    depth = 2  # refined to 2*len(devices) once the warm thread resolves
     mrd = params.max_dist_in_ref
 
     def fits(r):
@@ -1577,13 +1583,26 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     # all-dummy group before claiming (the first execution in a process
     # pays the program load, and rows claimed before warm-up would
     # starve the faster CPU pool) — ASYNCHRONOUSLY: a cold compile/load
-    # must never gate a run the CPU pool can finish by itself
+    # must never gate a run the CPU pool can finish by itself — and
+    # LAZILY: warm-up itself (engine construction packs + uploads on the
+    # host) costs CPU the native pool could use (measured -7% on vir61),
+    # so it only starts once the native pool's own early rate projects
+    # the remaining queue to outlast LZANI_TPU_WARM_MIN_S seconds
     warm_state: dict = {"s": None, "ok": None}
 
     def _warm():
-        nonlocal eng
+        nonlocal eng, devices, depth
         try:
             with jax.enable_x64(False):
+                if devices is None:
+                    devices = jax.local_devices()[:1]
+                    if not devices or (not interpret
+                                       and devices[0].platform != "tpu"):
+                        # no usable accelerator: the native pool simply
+                        # owns the run (policy, not a failure — no warning)
+                        warm_state["ok"] = False
+                        return
+                depth = 2 * len(devices)
                 eng = PallasAll2All(codes, params, devices=devices,
                                     interpret=interpret)
                 gi = eng.build_group_index([-1] * GROUP, eng.devices[0])
@@ -1598,8 +1617,8 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                   f"({type(e).__name__}: {e}); hybrid run continues on "
                   f"the native pool alone")
 
+    warm_min_s = float(os.environ.get("LZANI_TPU_WARM_MIN_S", "20"))
     warm_thread = threading.Thread(target=_warm, daemon=True)
-    warm_thread.start()
 
     def drain(r_list, subs, handles, t_disp):
         nonlocal tpu_pairs
@@ -1708,8 +1727,28 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     k_disp = 0
     done_claiming = False
     current = None  # unit popped but not yet in `inflight` (salvage set)
+    warm_started = False
     try:
         while True:
+            if not warm_started:
+                # lazy warm-up gate: join only if the queue will outlast
+                # the threshold at the native pool's own early rate (the
+                # projection can only shrink, so one decision suffices)
+                if queue_rem() <= 0 or not nat_thread.is_alive():
+                    break
+                el = time.perf_counter() - t_run0
+                pdone = int(nat_prog[1])
+                if greedy:
+                    warm_started = True
+                elif el >= 0.5 and pdone > 0:
+                    if (total_pairs - pdone) / (pdone / el) <= warm_min_s:
+                        break  # run too small to profit from the device
+                    warm_started = True
+                if warm_started:
+                    warm_thread.start()
+                else:
+                    time.sleep(0.02)
+                    continue
             if warm_state["ok"] is None:
                 # device still warming: the CPU owns the queue meanwhile,
                 # and if it drains everything the run ends WITHOUT
@@ -1822,7 +1861,8 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         stats["cpu_rows"] = int(nat_prog[0])
         stats["cpu_pairs"] = int(nat_prog[1])
         stats["warm_s"] = warm_state["s"]
-        stats["warm_pending"] = warm_state["ok"] is None
+        stats["warm_started"] = warm_started
+        stats["warm_pending"] = warm_started and warm_state["ok"] is None
         stats["t_unit_s"] = t_group[0]
     if rf is not None:
         rf.close()
