@@ -443,6 +443,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             return al, ap
 
         def log_event(st, i_ev, bpos, blen, bwd, ext):
+            # NB an unconditional per-event store (no flush cond)
+            # measured SLOWER: the dynamic-offset VMEM store per event
+            # outprices the 1-in-16 cond boundary it replaces.
             ne, pend = st
             lane0 = (ne % 16) * 8
             io = lane_iota(128)
@@ -480,40 +483,39 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             close = (pred_ev >= 0) & (jnp.abs(bpos - pred_ev) <= mrd)
 
-            def close_branch(_):
-                # gap + CLOSE emission; reg state untouched; top is CLOSE
-                return (reg_lo, reg_hi, jnp.int32(0), lit_below,
-                        jnp.int32(0))
+            # close: gap + CLOSE emission, reg state untouched, top is
+            # CLOSE. distant: effective top-literal at bwd-check time =
+            # flush, then kill replacement (ops/DESIGN.md scalar-tracking
+            # argument), then backward extension into it. Both branches
+            # are scalar selects except the bwd scan, which keeps the
+            # ONLY lax.cond (cond boundaries are the expensive currency
+            # here — see DESIGN.md round-2 notes).
+            tl = jnp.where(lit_ev > 0, lit_ev, top_lit)
+            do_kill = (reg_lo >= 0) & (reg_hi - reg_lo < reg)
+            run_len = (i_ev - reg_lo) + lit_below
+            tl = jnp.where(do_kill, run_len, tl)
 
-            def distant_branch(_):
-                # effective top-literal at bwd-check time: flush, then kill
-                # replacement (ops/DESIGN.md scalar-tracking argument)
-                tl = jnp.where(lit_ev > 0, lit_ev, top_lit)
-                do_kill = (reg_lo >= 0) & (reg_hi - reg_lo < reg)
-                run_len = (i_ev - reg_lo) + lit_below
-                tl = jnp.where(do_kill, run_len, tl)
-                # backward extension into the top literal
-                def _bwd(_):
-                    b = ext_scan(qbuf, refbuf, cmat, cmat2, i_ev, bpos,
-                                 jnp.minimum(i_ev, bpos), tl,
-                                 forward=False)
-                    if "ext" in PROF_DOUBLE:
-                        b = jnp.minimum(
-                            b, ext_scan(qbuf, refbuf, cmat, cmat2,
-                                        i_ev + z, bpos + z,
-                                        jnp.minimum(i_ev, bpos),
-                                        tl, forward=False))
-                    return b
+            def _bwd(_):
+                b = ext_scan(qbuf, refbuf, cmat, cmat2, i_ev, bpos,
+                             jnp.minimum(i_ev, bpos), tl,
+                             forward=False)
+                if "ext" in PROF_DOUBLE:
+                    b = jnp.minimum(
+                        b, ext_scan(qbuf, refbuf, cmat, cmat2,
+                                    i_ev + z, bpos + z,
+                                    jnp.minimum(i_ev, bpos),
+                                    tl, forward=False))
+                return b
 
-                bwd = jax.lax.cond(tl > 0, _bwd,
-                                   lambda _: jnp.int32(0), None)
-                use_bwd = bwd > 0
-                rl = jnp.where(use_bwd, i_ev - bwd, i_ev)
-                lb = jnp.where(use_bwd, tl - bwd, tl)
-                return (rl, reg_hi, jnp.int32(0), lb, bwd)
-
-            reg_lo2, reg_hi2, top_lit2, lit_below2, bwd = jax.lax.cond(
-                close, close_branch, distant_branch, None)
+            bwd = jax.lax.cond((~close) & (tl > 0), _bwd,
+                               lambda _: jnp.int32(0), None)
+            use_bwd = bwd > 0               # implies ~close (bwd==0 else)
+            rl = jnp.where(use_bwd, i_ev - bwd, i_ev)
+            lb = jnp.where(use_bwd, tl - bwd, tl)
+            reg_lo2 = jnp.where(close, reg_lo, rl)
+            reg_hi2 = reg_hi
+            top_lit2 = jnp.int32(0)
+            lit_below2 = jnp.where(close, lit_below, lb)
 
             i2 = i_ev + blen
             pred2 = bpos + blen
@@ -751,7 +753,11 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         lambda _: resolve_anchor_p(i_ev),
                         lambda _: (jnp.int32(0), jnp.int32(0)), None)
 
-                    # arbitration (WIN table) when both present
+                    # arbitration (WIN table) when both present.
+                    # NB a branchless variant (clamped index, always
+                    # probe) measured SLOWER (+12% with the uncond
+                    # log_event store): the probe's VREG->SREG extract
+                    # per event outprices the two rare cond boundaries.
                     def arb(_):
                         alc = jnp.minimum(a_len, SAT) - mal
                         slc = jnp.minimum(s_len, SAT) - msl
