@@ -154,6 +154,28 @@ def test_hybrid_survives_dead_device_at_warmup(greedy_claims, monkeypatch):
     assert stats["cpu_pairs"] == 8 * 7
 
 
+def test_hybrid_small_run_never_warms(monkeypatch):
+    """A run the CPU pool finishes before the lazy-warm threshold must
+    never pay the device warm-up (engine construction included) — it
+    degrades to pure-native with warm_started False."""
+    from lzani_tpu.ops.pallas_engine import PallasAll2All
+
+    def boom(*a, **k):
+        raise AssertionError("engine must not be constructed")
+
+    monkeypatch.setattr(PallasAll2All, "__init__", boom)
+    p = Params()
+    rng = np.random.RandomState(33)
+    codes = _codes(8, rng)
+    ref = ne.all2all(codes, p)
+    stats = {}
+    out = all2all_hybrid(codes, p, interpret=True, cpu_threads=2,
+                         stats=stats)
+    assert np.array_equal(ref, out)
+    assert stats["warm_started"] is False
+    assert stats["tpu_pairs"] == 0
+
+
 def test_hybrid_cpu0_delegates_to_pallas(monkeypatch):
     """cpu_threads=0 must degrade to the pure device path."""
     import lzani_tpu.ops.pallas_engine as pe
