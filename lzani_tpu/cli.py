@@ -45,7 +45,7 @@ Options - LZ-parsing-related:
 Options - other:
   -t, --threads <int>            - no of threads; 0 means auto-detect (default: 0)
   -V, --verbose <int>            - verbosity level (default: 1)
-      --backend <name>           - compute backend: native | pallas | hybrid | jax | auto (default: auto)
+      --backend <name>           - compute backend: native | pallas | hybrid | jax | auto (default: auto = hybrid, degrading to native without an accelerator)
 """
 
 
@@ -186,4 +186,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    rc = main()
+    # see __main__.py: a pending device warm-up daemon thread must not
+    # abort interpreter teardown — outputs are written; exit hard
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

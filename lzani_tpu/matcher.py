@@ -99,7 +99,17 @@ class Matcher:
         p = self.params
         backend = p.backend
         if backend == "auto":
-            backend = "native"
+            # production default: the hybrid scheduler uses every piece
+            # of silicon on the host; a run too small to profit never
+            # pays any device cost (lazy warm-up), and without an
+            # accelerator it degrades to the native pool — so auto is
+            # never slower than native beyond the jax import. Falls back
+            # outright if jax is unavailable.
+            try:
+                import jax  # noqa: F401
+                backend = "hybrid"
+            except Exception:
+                backend = "native"
 
         region_path = None
         if p.output_alignment_file_name:

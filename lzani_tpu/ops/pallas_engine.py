@@ -1608,9 +1608,15 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                         # owns the run (policy, not a failure — no warning)
                         warm_state["ok"] = False
                         return
+                if warm_state.get("cancel"):  # run already drained
+                    warm_state["ok"] = False
+                    return
                 depth = 2 * len(devices)
                 eng = PallasAll2All(codes, params, devices=devices,
                                     interpret=interpret)
+                if warm_state.get("cancel"):
+                    warm_state["ok"] = False
+                    return
                 gi = eng.build_group_index([-1] * GROUP, eng.devices[0])
                 t0 = time.perf_counter()
                 eng.collect_group(eng.dispatch_group(gi, 0,
@@ -1651,69 +1657,89 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     greedy = bool(int(os.environ.get("LZANI_TPU_HYBRID_GREEDY", "0")))
     debug = bool(int(os.environ.get("LZANI_TPU_HYBRID_DEBUG", "0")))
 
-    base_rate = [None]  # CPU-only pairs/s, sampled before the first claim
     grp_pairs_est = max(1, GROUP * total_pairs // max(1, n))
-    nat_win = deque()   # (el, native pairs) samples for the rate window
+
+    # ---- duty-cycle displacement controller --------------------------------
+    # The device's host-side tax (tunnel I/O, replay, index builds)
+    # competes with the native pool for cores; on a narrow host it can
+    # displace more native throughput than the device adds. A baseline
+    # measured at run start CANNOT detect this: the longest-first
+    # schedule makes the native rate RISE over the run, masking any sag
+    # (measured: 52k device pairs and still 0.94x end-to-end). Sound
+    # control = A/B in time: claims are duty-cycled (ACT s on, PAUSE s
+    # off), each ~1 s bucket of native progress is classified by whether
+    # the device pipeline was active, and adjacent active/idle rate EMAs
+    # are compared. If active < RATIO * idle, claims latch off (and
+    # re-probe once per RETRY s — the workload mix may change). On DMA
+    # hosts the tax ~vanishes, the EMAs agree, and claims flow.
+    ACT, PAUSE, BUCKET = 6.0, 1.5, 0.8
+    RATIO, RETRY = 0.985, 45.0
+    duty = {"b0": None, "p0": 0, "act": False,   # current bucket
+            "ema_a": None, "ema_i": None, "n_a": 0, "n_i": 0,
+            "off_until": 0.0, "latched": 0}
+
+    def device_active():
+        return (len(inflight) + len(unit_q) > 0
+                or tpu_claimed - tpu_done[0] > 0)
+
+    def duty_sample(el):
+        """Advance the bucket clock; returns True while claims are
+        allowed by the duty/latch state."""
+        d = duty
+        if d["b0"] is None:
+            d["b0"], d["p0"] = el, int(nat_prog[1])
+            d["act"] = device_active()
+            return True
+        d["act"] = d["act"] or device_active()
+        span = el - d["b0"]
+        if span >= BUCKET and nat_thread.is_alive():
+            rate = (int(nat_prog[1]) - d["p0"]) / span
+            k = "ema_a" if d["act"] else "ema_i"
+            nk = "n_a" if d["act"] else "n_i"
+            d[k] = rate if d[k] is None else 0.6 * d[k] + 0.4 * rate
+            d[nk] += 1
+            d["b0"], d["p0"] = el, int(nat_prog[1])
+            d["act"] = device_active()
+            if (d["n_a"] >= 2 and d["n_i"] >= 2
+                    and d["ema_a"] < RATIO * d["ema_i"]):
+                d["off_until"] = el + RETRY
+                d["latched"] += 1
+                # forget the verdict inputs so the re-probe is fresh
+                d["ema_a"] = d["ema_i"] = None
+                d["n_a"] = d["n_i"] = 0
+                if debug:
+                    print(f"[hybrid] displacement latch at el={el:.1f} "
+                          f"(active<{RATIO}*idle)", flush=True)
+        if el < d["off_until"]:
+            return False
+        # duty cycle guarantees idle buckets exist for the comparison
+        return ((el - d["off_until"]) % (ACT + PAUSE)) < ACT
 
     def claim_rows():
         """Claim up to GROUP rows from the tail (shortest refs) — but
         only while the device demonstrably ADDS throughput. Three gates,
         each added for a measured failure mode on this host:
-        (1) profitability feedback: total pairs/s (CPU+device) must stay
-            >= 97% of the CPU-only baseline — the driver's host-side tax
-            (tunnel downloads, replay, index builds) competes with the
-            native pool for cores, and on a narrow host it can displace
-            more native throughput than the device adds;
+        (1) the duty-cycle displacement controller above;
         (2) one probe group until the first drain establishes the
             device's service time (a cold burst of depth+1 groups made
             the device the critical path on small sets);
         (3) tail backlog: never claim what the CPU pool would finish
-            before the device could drain its own queue."""
+            before the device could drain its own queue. Plus an
+            outstanding-pairs cap: the host-side tax is DEFERRED through
+            queues, and drain-time feedback alone let debt build
+            invisibly and materialize at the end-of-run barrier
+            (measured: -42% on a 300-genome set)."""
         rem = queue_rem()
         if rem <= 0:
             return None
         el = time.perf_counter() - t_run0
         rows_done = int(nat_prog[0])
         if not greedy:
-            # outstanding cap: the device's host-side tax (downloads,
-            # replay) is DEFERRED through queues — drain-time feedback
-            # alone let debt build invisibly and materialize at the
-            # end-of-run barrier (measured: -42% on a 300-genome set).
-            # Tether claims to true end-to-end completion instead.
+            allow = duty_sample(el)
             if tpu_claimed - tpu_done[0] > 2 * grp_pairs_est:
                 return None
-            if nat_thread.is_alive():
-                nat_now = int(nat_prog[1])
-                nat_win.append((el, nat_now))
-                while nat_win and el - nat_win[0][0] > 3.0:
-                    nat_win.popleft()
-                if base_rate[0] is None:
-                    # let the CPU-only baseline form first
-                    if rows_done < max(2, cpu_threads) or el <= 0:
-                        return None
-                    base_rate[0] = nat_now / el
-                else:
-                    # displacement monitor: if the native pool's rate
-                    # sags while the device works, the device's host-side
-                    # tax (tunnel I/O burns host CPU per byte here) is
-                    # eating more than it contributes — stop claiming.
-                    # On hardware with DMA transfers the sag is ~0 and
-                    # claims continue.
-                    e0, p0 = nat_win[0]
-                    sag = None
-                    if el - e0 >= 1.5:
-                        nat_rate_now = (nat_now - p0) / (el - e0)
-                        sag = nat_rate_now / base_rate[0]
-                    total = nat_now + tpu_done[0]
-                    if debug:
-                        print(f"[hybrid] claim? el={el:.2f} total={total} "
-                              f"thr={0.97 * base_rate[0] * el:.0f} "
-                              f"base={base_rate[0]:.0f} sag={sag} "
-                              f"tpu_done={tpu_done[0]}", flush=True)
-                    if sag is not None and sag < 0.93:
-                        return None
-                    if total < 0.97 * base_rate[0] * el:
-                        return None
+            if not allow:
+                return None
             if t_group[0] is None and (len(inflight) + len(unit_q)) >= 1:
                 return None
             if rows_done > 0 and el > 0:
@@ -1854,6 +1880,8 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         pending.append(pool.submit(_native_row, codes, params, r,
                                    wanted_of(r), out, filter_csr is None,
                                    region_path, rf, rf_lock))
+    warm_state["cancel"] = True  # a still-pending warm-up stops at its
+    #                              next step boundary (library callers)
     nat_thread.join()
     if nat_exc:
         raise nat_exc[0]
@@ -1870,6 +1898,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         stats["warm_started"] = warm_started
         stats["warm_pending"] = warm_started and warm_state["ok"] is None
         stats["t_unit_s"] = t_group[0]
+        stats["duty_latched"] = duty["latched"]
     if rf is not None:
         rf.close()
         # merge the device side's region records into the native file

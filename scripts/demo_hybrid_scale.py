@@ -22,18 +22,21 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 
 
 def synth(n, rng):
-    fams = max(4, n // 25)
+    # similarity-dense mix (low mutation, few singletons): per-pair cost
+    # approaches the vir61 regime, so the native pool needs minutes and
+    # the device warm-up completes well inside the run
+    fams = max(4, n // 50)
     bases = [rng.randint(0, 4, int(rng.randint(8000, 16000))
                          ).astype(np.uint8) for _ in range(fams)]
     out = []
     for k in range(n):
-        if rng.rand() < 0.3:  # unrelated singleton
+        if rng.rand() < 0.1:  # unrelated singleton
             out.append(rng.randint(0, 4, int(rng.randint(8000, 16000))
                                    ).astype(np.uint8))
             continue
         b = bases[int(rng.randint(fams))]
         c = b.copy()
-        m = rng.rand(len(c)) < rng.uniform(0.02, 0.25)
+        m = rng.rand(len(c)) < rng.uniform(0.01, 0.10)
         c[m] = (c[m] + rng.randint(1, 4, m.sum())) % 4
         lo = int(rng.randint(0, len(c) // 4))
         out.append(c[lo:lo + int(rng.randint(len(c) // 2,

@@ -144,7 +144,8 @@ def run_case(tc, seqs, flags, workdir, rng=None):
         return "SKIP"
     r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all"]
                        + in_flags + ["--out", our_out,
-                                     "--out-alignment", our_aln] + flags,
+                                     "--out-alignment", our_aln,
+                                     "--backend", "native"] + flags,
                        capture_output=True, timeout=600, cwd="/root/repo")
     if r.returncode != 0:
         return f"our cli failed: {r.stderr[-300:]}"
