@@ -37,14 +37,30 @@ def greedy_claims(monkeypatch):
 
 @pytest.fixture()
 def slow_cpu(monkeypatch):
-    # hold the native pool back briefly so the interpret-mode device side
-    # (whose warm-up outlasts a CI-sized CPU run) provably claims rows
+    # hold the native pool back until the device warm-up has actually
+    # completed (event-driven: a fixed sleep flakes when the host is
+    # loaded and the interpret trace slows down), so the device side
+    # provably claims rows in CI-sized runs
+    import threading
+    import time
+
+    from lzani_tpu.ops.pallas_engine import PallasAll2All
+
+    warm_done = threading.Event()
+    real_cg = PallasAll2All.collect_group
+
+    def cg(self, handles):
+        out = real_cg(self, handles)
+        warm_done.set()
+        return out
+
+    monkeypatch.setattr(PallasAll2All, "collect_group", cg)
     real = ne.all2all
 
     def delayed(codes, params, **kw):
         if kw.get("ext_counter") is not None:
-            import time
-            time.sleep(8.0)  # the interpret warm-up trace takes ~5 s
+            warm_done.wait(120.0)
+            time.sleep(0.5)  # give the claim loop a beat to win rows
         return real(codes, params, **kw)
 
     monkeypatch.setattr(ne, "all2all", delayed)
