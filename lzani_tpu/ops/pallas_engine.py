@@ -838,6 +838,43 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # host wrapper
 # ---------------------------------------------------------------------------
 
+def _thread_idle_priority():
+    """Best-effort: drop the CALLING thread's scheduling priority to idle
+    (Linux per-thread nice 19). The hybrid scheduler runs ALL device-side
+    host work this way — warm-up, dispatch, downloads, replay — so it can
+    only consume cycles the native pool leaves spare (measured: a warm-up
+    that never finished displaced 19% of native throughput at normal
+    priority). Returns (tid, old_nice) for _restore_priority, or None."""
+    try:
+        import ctypes
+        import platform
+
+        nr = {"x86_64": 186, "aarch64": 178}.get(platform.machine())
+        if nr is None:
+            return None
+        libc = ctypes.CDLL(None, use_errno=True)
+        tid = libc.syscall(nr)
+        if tid <= 0:
+            return None
+        old = libc.getpriority(0, tid)
+        libc.setpriority(0, tid, 19)
+        return (tid, old)
+    except Exception:
+        return None
+
+
+def _restore_priority(tok):
+    if tok is None:
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.setpriority(0, tok[0], tok[1])
+    except Exception:
+        pass
+
+
 def _pad128(n):
     return -(-n // 128) * 128
 
@@ -1567,8 +1604,12 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     nat_thread.start()
 
     nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
-    dl_pool = ThreadPoolExecutor(max_workers=2)
-    pool = ThreadPoolExecutor(max_workers=nthreads)
+    # every device-side host thread runs at idle priority: the device
+    # path may only consume cycles the native pool leaves spare
+    dl_pool = ThreadPoolExecutor(max_workers=2,
+                                 initializer=_thread_idle_priority)
+    pool = ThreadPoolExecutor(max_workers=nthreads,
+                              initializer=_thread_idle_priority)
     pending = []
     drain_futs = []
     inflight = deque()   # (r_list, subs_by_lo, handles, t_dispatch)
@@ -1598,6 +1639,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
 
     def _warm():
         nonlocal eng, devices, depth
+        _thread_idle_priority()
         try:
             with jax.enable_x64(False):
                 if devices is None:
@@ -1760,6 +1802,9 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     done_claiming = False
     current = None  # unit popped but not yet in `inflight` (salvage set)
     warm_started = False
+    # the scheduler loop itself (index builds, dispatch prep) is device-
+    # side host work too — idle priority, restored before returning
+    prio_tok = _thread_idle_priority()
     try:
         while True:
             if not warm_started:
@@ -1883,6 +1928,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     warm_state["cancel"] = True  # a still-pending warm-up stops at its
     #                              next step boundary (library callers)
     nat_thread.join()
+    _restore_priority(prio_tok)
     if nat_exc:
         raise nat_exc[0]
     for f in pending:
