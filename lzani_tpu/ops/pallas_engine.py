@@ -239,6 +239,10 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     assert D + msl_eff <= WROWS, (D, msl_eff)
     assert W + D + msl_eff <= WCOLS, (W, D, msl_eff)
     assert max(mqd, mrd) <= 127      # dist fits the 7-bit tie-pack field
+    # ext_scan envelope: the banded window matrices and the tail carry
+    # cover at most one 128-lane chunk; the in-loop run0 derivation also
+    # relies on min(run0_prev + CE, ar) == ar, i.e. ar <= CE = 128
+    assert 1 <= aw <= 128 and 0 <= ar <= 128, (aw, ar)
 
     # ---------------- in-kernel helpers bound to refs ---------------------
 
@@ -319,83 +323,81 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # and get masked by nv in the caller.
             return pltpu.roll(mr, CE - sh, 1)  # lane j -> e = base+j
 
-        def eval_one(base, run0v, tail, last_v, done_v):
-            """One 128-lane sub-chunk; carries stay vector-side.
-            run0v/done_v are (1,1); tail/last_v are (1,CE)."""
-            nv = jnp.minimum(total - base, CE)
-            miss = load_miss(base)
-            valid = io < nv
-            m_eff = jnp.where(valid, miss, 0)
-
-            # windowed mismatch sums via MXU: W2[0, e] = bad(e) (aw window),
-            # W2[0, CE+e] = miss count in the ar window ending at e
-            W2 = jax.lax.dot_general(
+        def win_sums(m_eff):
+            """Windowed mismatch sums via MXU: W2[0, e] = bad(e) (aw
+            window), W2[0, CE+e] = miss count in the ar window ending
+            at e."""
+            return jax.lax.dot_general(
                 m_eff.astype(jnp.float32),
                 cmat2[:, :] if forward else cmat[:, 256:512],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(I32)
-            bad_w = W2[:, 0:CE]
-            runm = W2[:, CE:2 * CE]
 
-            # bad(e) carry from the previous chunk: tail holds miss for
-            # e = base-(aw-1)..base-1 in lanes 0..aw-2; contribution to
-            # window(e=base+el) is the tail suffix sum at el
+        # --- peeled first chunk (the ext == 0 majority never enters the
+        # loop). Specialized carries (measured round 2: the carry
+        # machinery was ~half the per-event ext cost and is dead in the
+        # first chunk): tail = 0 -> no suffix-sum chain; run0 = ar ->
+        # extra = max(-1 - io, 0) = 0.
+        nv = jnp.minimum(total, CE)
+        miss = load_miss(jnp.int32(0))
+        valid = io < nv
+        m_eff = jnp.where(valid, miss, 0)
+        W2 = win_sums(m_eff)
+        stop = valid & (W2[:, 0:CE] > am)
+        # "before the first stop": e < (first stop index)
+        fs = jnp.min(jnp.where(stop, io, CE), axis=1, keepdims=True)
+        # run(e) >= ar  <=>  no miss in the ar-window ending at e
+        ok = (valid & (m_eff == 0) & (W2[:, CE:2 * CE] == 0)
+              & (io < fs))  # m_eff==0: ar == 0 case
+        last_v = jnp.where(ok, io + 1, 0)
+        done_sc = (fs[0, 0] < CE) | (nv < CE)
+
+        def big_body(st):
+            base, m_prev, last_v, _ = st
+            # carries derived here from the PREVIOUS chunk's miss vector
+            # (rare path; inside the loop the previous chunk was always
+            # full: nv_prev == CE, so run0 = ar when it ended clean)
+            lm = jnp.max(jnp.where(m_prev > 0, io, -1), axis=1,
+                         keepdims=True)
+            # last in-chunk miss -> edge run clamped at ar (only its
+            # >= ar-ness matters onward)
+            run0v = jnp.where(lm >= 0, jnp.minimum(CE - 1 - lm, ar),
+                              jnp.int32(ar))
+            # tail: miss at e = base-(aw-1)+k -> lane k
+            tail = pltpu.roll(m_prev, aw - 1, 1)
+            tail = jnp.where(io <= aw - 2, tail, 0)
+
+            nv = jnp.minimum(total - base, CE)
+            miss = load_miss(base)
+            valid = io < nv
+            m_eff = jnp.where(valid, miss, 0)
+            W2 = win_sums(m_eff)
+            # bad(e) carry: tail holds miss for e = base-(aw-1)..base-1
+            # in lanes 0..aw-2; contribution to window(e=base+el) is the
+            # tail suffix sum at el
             sufs = tail
             for stp in (1, 2, 4, 8):
                 sufs = sufs + jnp.where(io < CE - stp,
                                         pltpu.roll(sufs, CE - stp, 1), 0)
-            bad = bad_w + jnp.where(io <= aw - 2, sufs, 0)
-
+            bad = W2[:, 0:CE] + jnp.where(io <= aw - 2, sufs, 0)
             stop = valid & (bad > am)
-            # "before the first stop": e < (first stop index)
             fs = jnp.min(jnp.where(stop, io, CE), axis=1, keepdims=True)
-            # run(e) >= ar  <=>  no miss in the ar-window ending at e,
-            # counting positions before the chunk as matches up to run0
+            # positions before the chunk count as matches up to run0
             # then a virtual mismatch (the old lm >= -(run0+1) floor)
             extra = jnp.maximum((ar - 1 - run0v) - io, 0)
-            ok = (valid & (m_eff == 0) & ((runm + extra) == 0)
-                  & (io < fs) & (done_v == 0))  # m_eff==0: ar == 0 case
+            ok = (valid & (m_eff == 0) & ((W2[:, CE:2 * CE] + extra) == 0)
+                  & (io < fs))
             last_v = jnp.maximum(last_v, jnp.where(ok, base + io + 1, 0))
-
-            # carries for the NEXT sub-chunk, all vector-side:
-            # last in-chunk miss -> edge run clamped at ar (only its
-            # >= ar-ness matters onward)
-            lm = jnp.max(jnp.where(m_eff > 0, io, -1), axis=1,
-                         keepdims=True)
-            run0n = jnp.where(lm >= 0, jnp.minimum(nv - 1 - lm, ar),
-                              jnp.minimum(run0v + nv, ar))
-            stop_any = jnp.max(jnp.where(stop, 1, 0), axis=1,
-                               keepdims=True)
-            done_n = jnp.maximum(done_v, stop_any)
-            done_n = jnp.maximum(done_n, jnp.where(nv < CE, 1, 0))
-            # new tail: miss at e = base+CE-(aw-1)+k  -> lane k
-            ntail = pltpu.roll(m_eff, aw - 1, 1)
-            ntail = jnp.where(io <= aw - 2, ntail, 0)
-            return run0n, ntail, last_v, done_n
-
-        # peeled first chunk (the ext == 0 majority never enters the loop)
-        run0v = jnp.full((1, 1), ar, I32)
-        tail = jnp.zeros((1, CE), I32)
-        last_v = jnp.zeros((1, CE), I32)
-        done_v = jnp.zeros((1, 1), I32)
-        run0v, tail, last_v, done_v = eval_one(jnp.int32(0), run0v, tail,
-                                               last_v, done_v)
-        done_sc = done_v[0, 0] > 0
-
-        def big_body(st):
-            base, run0v, tail, last_v, done_v, _ = st
-            run0v, tail, last_v, done_v = eval_one(base, run0v, tail,
-                                                   last_v, done_v)
-            return (base + CE, run0v, tail, last_v, done_v,
-                    done_v[0, 0] > 0)
+            done_sc = (fs[0, 0] < CE) | (nv < CE)
+            return (base + CE, m_eff, last_v, done_sc)
 
         def big_cond(st):
-            base, _, _, _, _, done_sc = st
+            base, _, _, done_sc = st
             return (~done_sc) & (base < total)
 
-        st = (jnp.int32(CE), run0v, tail, last_v, done_v, done_sc)
+        st = (jnp.int32(CE), m_eff, last_v, done_sc)
         st = jax.lax.while_loop(big_cond, big_body, st)
-        return jnp.max(st[3])
+        return jnp.max(st[2])
 
     # ---------------- the kernel itself ------------------------------------
 
