@@ -221,6 +221,12 @@ def build_const_mat(aw: int, ar: int) -> np.ndarray:
 #: production; the hooks trace to nothing when unset.
 PROF_DOUBLE: frozenset = frozenset()
 
+#: When True, the kernel threads superstep/desync counters through the
+#: parse loops and writes them to the event-buffer tail block (read by
+#: scripts/profile_kernel_phases.py). Off in production: the counters
+#: add two scalars to the state every loop/cond boundary crosses.
+PROF_COUNTERS: bool = False
+
 
 def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                       WinP: int, EvL: int):
@@ -350,7 +356,12 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         ok = (valid & (m_eff == 0) & (W2[:, CE:2 * CE] == 0)
               & (io < fs))  # m_eff==0: ar == 0 case
         last_v = jnp.where(ok, io + 1, 0)
-        done_sc = (fs[0, 0] < CE) | (nv < CE)
+        # ONE packed VREG->SREG sync serves both the loop-entry test and
+        # the (majority) single-chunk result: fs, last <= CE <= 512
+        P = fs * 1024 + jnp.max(last_v, axis=1, keepdims=True)
+        p_sc = P[0, 0]
+        last_sc = p_sc % 1024
+        done_sc = (p_sc // 1024 < CE) | (nv < CE)
 
         def big_body(st):
             base, m_prev, last_v, _ = st
@@ -397,7 +408,10 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
         st = (jnp.int32(CE), m_eff, last_v, done_sc)
         st = jax.lax.while_loop(big_cond, big_body, st)
-        return jnp.max(st[2])
+        # loop untaken (the common case): the peel's packed sync already
+        # holds the answer; only a taken loop pays a second reduce+sync
+        return jax.lax.cond(st[0] > CE, lambda _: jnp.max(st[2]),
+                            lambda _: last_sc, None)
 
     # ---------------- the kernel itself ------------------------------------
 
@@ -472,7 +486,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             bwd/ext, logs the event. Mirrors parser.cpp:626-697 via the
             scalar-tracking argument (ops/DESIGN.md)."""
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend, n_ss, n_ds) = state
+             ne, pend, *prof) = state
             if "conds" in PROF_DOUBLE:
                 # 4 no-op scalar branches per event: measures Mosaic's
                 # per-lax.cond overhead (pipeline boundary), which the
@@ -534,20 +548,21 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             i3 = i2 + ext
             pred3 = pred2 + ext
             return (i3, pred3, jnp.int32(0), reg_lo2, i3, top_lit2,
-                    lit_below2, ne2, pend2, n_ss, n_ds)
+                    lit_below2, ne2, pend2, *prof)
 
         # ---------------- desync step --------------------------------------
         def desync_step(state):
             (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-             ne, pend, n_ss, n_ds) = state
-            n_ds = n_ds + 1
+             ne, pend, *prof) = state
+            if prof:
+                prof = (prof[0], prof[1] + 1)
             j = vext(next_hit, i)
 
             def to_end(_):
                 # no more anchors: run out the loop as literals
                 delta = (dsz - msl) - i
                 return (i + delta, pred + delta, lit_run + delta, reg_lo,
-                        reg_hi, top_lit, lit_below, ne, pend, n_ss, n_ds)
+                        reg_hi, top_lit, lit_below, ne, pend, *prof)
 
             def at_candidate(_):
                 # NOTE: unlike the synced branch, the desynced search has
@@ -555,7 +570,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 # position 0 is a real match (parser.cpp:507-531 vs :604)
                 a_len, a_pos = resolve_anchor_p(j)
                 st2 = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
-                       lit_below, ne, pend, n_ss, n_ds)
+                       lit_below, ne, pend, *prof)
                 return apply_match(st2, j, a_pos, a_len)
 
             return jax.lax.cond(j >= dsz - msl, to_end, at_candidate, None)
@@ -575,7 +590,9 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             # window counter in the high bits of the n_ss profiling slot
             # (low 16 bits keep counting inner iterations): chain rate =
             # iterations / windows, read from the event-buffer tail
-            state0 = (state0[:9] + (state0[9] + (1 << 16),) + state0[10:])
+            if PROF_COUNTERS:
+                state0 = (state0[:9] + (state0[9] + (1 << 16),)
+                          + state0[10:])
             i0 = state0[0]
             b0 = jnp.maximum(state0[1] - state0[2], 0)
 
@@ -622,10 +639,11 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             def win_body(carry):
                 st, a_min, _done = carry
                 (i, pred, lit_run, reg_lo, reg_hi, top_lit, lit_below,
-                 ne, pend, n_ss, n_ds) = st
-                n_ss = n_ss + 1
+                 ne, pend, *prof) = st
+                if prof:
+                    prof = (prof[0] + 1, prof[1])
                 st = (i, pred, lit_run, reg_lo, reg_hi, top_lit,
-                      lit_below, ne, pend, n_ss, n_ds)
+                      lit_below, ne, pend, *prof)
                 d_base = i - i0
                 D_eff = jnp.minimum(mqd - lit_run + 1, (dsz - msl) - i)
                 c_lo = (pred - lit_run) - b0             # <= 0 at entry
@@ -677,7 +695,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     desync = new_lr > mqd
                     st2 = (i + adv, jnp.where(desync, -dsz, pred + adv),
                            new_lr, reg_lo, reg_hi, top_lit, lit_below,
-                           ne, pend, n_ss, n_ds)
+                           ne, pend, *prof)
                     return (st2, jnp.int32(0), jnp.bool_(True))
 
                 def attempt(_):
@@ -811,7 +829,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
         init = (jnp.int32(0), -dsz, jnp.int32(0), jnp.int32(-1),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.zeros((1, 128), I32), jnp.int32(0), jnp.int32(0))
+                jnp.zeros((1, 128), I32)) + (
+                    (jnp.int32(0), jnp.int32(0)) if PROF_COUNTERS else ())
         final = jax.lax.while_loop(
             lambda st: (st[0] + msl < dsz) & (st[7] < MAXEV - 1), step,
             init)
@@ -826,12 +845,13 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # overflow (event buffer full before the parse finished) -> -1;
         # the host falls back to the native engine for that pair
         nev_out[0, 0] = jnp.where(final[0] + msl < dsz, -1, ne)
-        # profiling counters in the (otherwise unused) last tail block:
-        # lane 0 = synced supersteps, lane 1 = desync steps
-        io = lane_iota(128)
-        prof = jnp.where(io == 0, final[9],
-                         jnp.where(io == 1, final[10], 0))
-        ev_out[0:1, EvL - 128:EvL] = prof
+        if PROF_COUNTERS:
+            # profiling counters in the (otherwise unused) last tail
+            # block: lane 0 = synced supersteps, lane 1 = desync steps
+            io = lane_iota(128)
+            prof = jnp.where(io == 0, final[9],
+                             jnp.where(io == 1, final[10], 0))
+            ev_out[0:1, EvL - 128:EvL] = prof
 
     return kernel
 
@@ -949,7 +969,8 @@ def _run_step_aot(step, key_parts, args):
         (tuple(getattr(a, "shape", np.shape(a))),
          str(getattr(a, "dtype", np.asarray(a).dtype))) for a in args)
     key = (_AOT_SALT, jax.__version__, jax.default_backend(),
-           key_parts, shapes)
+           key_parts, shapes,
+           tuple(sorted(PROF_DOUBLE)), PROF_COUNTERS)
     hit = _AOT_MEMO.get(key)
     if hit is not None:
         return hit(*args)

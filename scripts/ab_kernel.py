@@ -46,14 +46,16 @@ def main():
     eng.collect_group(h)
     print(f"warm: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # timed: median of 3 reps over both groups, lo=0
+    # timed: 8 reps over both groups, lo=0. Min is the robust estimator
+    # on this tunnel (host/tunnel interference only ever adds time).
     ts = []
-    for _ in range(3):
+    for _ in range(8):
         t0 = time.perf_counter()
         hs = [eng.dispatch_group(gi, 0, dev) for gi in gidxs]
         outs = [eng.collect_group(h) for h in hs]
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
+    mn = float(np.min(ts))
 
     # exactness: oracle-check a sample of (ref, query) cells
     rng = np.random.RandomState(7)
@@ -76,8 +78,8 @@ def main():
                 fails += 1
                 print(f"MISMATCH r={r} q={b}", flush=True)
     n_pairs = sum(len(g) for g in groups) * min(eng.B, len(codes))
-    print(f"[{label}] median 2-group wall: {med:.3f}s "
-          f"({med / 2:.3f}s/group, ~{n_pairs / med:.0f} pairs/s) "
+    print(f"[{label}] 2-group wall: min {mn:.3f}s median {med:.3f}s "
+          f"({mn / 2:.3f}s/group best, ~{n_pairs / mn:.0f} pairs/s) "
           f"oracle {checked - fails}/{checked} ok", flush=True)
     return 1 if fails else 0
 

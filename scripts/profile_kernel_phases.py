@@ -28,8 +28,15 @@ import numpy as np
 import jax  # noqa: E402
 
 from lzani_tpu.core import native_engine as ne
+from lzani_tpu.ops import pallas_engine as pe
 from lzani_tpu.ops.pallas_engine import PallasAll2All, PallasRefIndex
 from lzani_tpu.params import Params
+
+# the superstep/desync counters are compile-time optional (production
+# kernels drop them from the loop state); this script needs them
+pe.PROF_COUNTERS = True
+pe._get_ref_step.cache_clear()
+pe._get_group_step.cache_clear()
 
 L = int(os.environ.get("PROF_L", 39_000))  # vir61-typical -> same buckets
 INTERP = bool(os.environ.get("PROF_CPU"))
