@@ -159,7 +159,9 @@ class Matcher:
             # native thread pool + TPU engine stealing rows from one
             # shared queue (every piece of silicon on the host)
             _enable_compile_cache()
-            from .ops.pallas_engine import all2all_hybrid
+            # ops.hybrid is jax-free at import time: a run too small to
+            # warm the device pays ~zero cost over --backend native
+            from .ops.hybrid import all2all_hybrid
             prog_cb = None
             if p.verbosity_level >= 2:
                 state = {"last": ""}
