@@ -252,3 +252,26 @@ def test_two_ended_claims_are_atomic_across_engines():
     for t in ts:
         t.join()
     assert sorted(claimed) == list(range(N))
+
+
+def test_hybrid_module_is_jax_free_at_import_time():
+    """The CLI default backend imports ops.hybrid in the matching phase;
+    a run too small to warm the device must pay ZERO device cost — in
+    particular not the ~1.4 s pallas/Mosaic import. Pin it: importing
+    ops.hybrid must not pull in jax.experimental.pallas or the engine
+    module (fresh interpreter; jax itself may be preloaded by the
+    image's sitecustomize, so assert on the pallas/engine modules)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import lzani_tpu.ops.hybrid\n"
+        "assert 'lzani_tpu.ops.pallas_engine' not in sys.modules\n"
+        "assert 'jax.experimental.pallas' not in sys.modules\n"
+        "print('clean')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0 and "clean" in r.stdout, r.stderr[-1000:]
