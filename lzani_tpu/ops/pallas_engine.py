@@ -1491,11 +1491,19 @@ class PallasGroupIndex:
 @lru_cache(maxsize=32)
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
-                    interpret: bool, LqPrep: int | None = None):
+                    interpret: bool, LqPrep: int | None = None,
+                    ilv: int = 1):
     """Fused jit for a reference GROUP: G independent join builds + one
-    shared query prep + a (G, B) pallas grid — one dispatch per group."""
+    shared query prep + a (G, B) pallas grid — one dispatch per group.
+    ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
+    kernel program on a (G, B//ilv) grid (ops/pallas_v5.py)."""
     EvL = PallasRefIndex.MAXEV * 8
-    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+    if ilv > 1:
+        from .pallas_v5 import make_parse_kernel_ilv
+        assert B % ilv == 0, (B, ilv)
+        kern = make_parse_kernel_ilv(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
+    else:
+        kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
     mal, msl = cfg.mal, cfg.msl
     nk = 1 << (2 * mal)
 
@@ -1562,6 +1570,59 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                 .at[:, :, 0].set(dsz[None, :])
                 .at[:, :, 1].set(nrs[:, None]))
         # --- kernel: (G, B) grid, query index innermost -------------------
+        if ilv > 1:
+            # ilv gets its OWN (fully-covered) dimension: Mosaic requires
+            # sublane block dims divisible by 8 or equal to the array dim
+            Bi = B // ilv
+            pergb4 = lambda g, b: (g, b, 0, 0)
+            perq3 = lambda g, b: (b, 0, 0)
+            sharedg3 = lambda g, b: (g, 0, 0)
+            ev, nev = pl.pallas_call(
+                kern,
+                grid=(G, Bi),
+                out_shape=(
+                    jax.ShapeDtypeStruct((G, Bi, ilv, EvL), jnp.int32),
+                    jax.ShapeDtypeStruct((G, Bi, ilv, 1), jnp.int32)),
+                in_specs=[
+                    pl.BlockSpec((None, None, ilv, 128), pergb4,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((None, 1, LrP), sharedg3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, ilv, LqP), perq3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, 1, KaP), sharedg3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, None, ilv, LqP), pergb4,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, None, ilv, LqP), pergb4,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, 1, WinP), sharedg3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((128, 512), fixed2,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((CEF, 2 * CEF), fixed2,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((None, None, ilv, EvL), pergb4,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, None, ilv, 1), pergb4,
+                                 memory_space=pltpu.SMEM)),
+                interpret=interpret,
+            )(scal.reshape(G, Bi, ilv, 128), refbuf[:, None, :],
+              qsel.reshape(Bi, ilv, LqP), poslist[:, None, :],
+              cd.reshape(G, Bi, ilv, LqP), nhm.reshape(G, Bi, ilv, LqP),
+              win[:, None, :], cmat,
+              jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
+            ev2 = ev.reshape(G, B, EvL)
+            nev_flat = nev.reshape(G, B)
+            if LqP <= (1 << 16):
+                evr = ev2.reshape(G, B, EvL // 8, 8)
+                p0 = evr[..., 0] | (evr[..., 2] << 16)
+                p2 = evr[..., 3] | (evr[..., 4] << 16)
+                ev2 = jnp.stack([p0, evr[..., 1], p2],
+                                axis=-1).reshape(G, B, (EvL // 8) * 3)
+            return ev2, nev_flat, overflow
         ev, nev = pl.pallas_call(
             kern,
             grid=(G, B),
@@ -1795,7 +1856,7 @@ class PallasAll2All:
     KPAIR = 1
 
     def __init__(self, codes, params, devices=None, interpret=False,
-                 kpair: int | None = None):
+                 kpair: int | None = None, ilv: int | None = None):
         self.codes = codes
         self.params = params
         self.interpret = interpret
@@ -1803,6 +1864,12 @@ class PallasAll2All:
         cfg = self.cfg
         n = len(codes)
         self.kpair = self.KPAIR if kpair is None else kpair
+        # v5 latency-interleave width for the GROUP path (queries per
+        # kernel program; ops/pallas_v5.py). Env override for A/B runs.
+        if ilv is None:
+            import os as _os
+            ilv = int(_os.environ.get("LZANI_TPU_ILV", "0")) or 1
+        self.ilv = ilv
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         # run-wide reference buckets over the device-eligible refs: every
@@ -1821,6 +1888,8 @@ class PallasAll2All:
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
             self.B = max(self.B, self.kpair)    # grid needs B % K == 0
+        if self.ilv > 1:
+            self.B = max(self.B, self.ilv)      # grid needs B % ilv == 0
         n_pad = -(-n // self.B) * self.B
         qb = np.full((n_pad, self.LqP), SYM_N_SEQ, np.uint8)
         for i, c in enumerate(codes):
@@ -1933,12 +2002,12 @@ class PallasAll2All:
         B = self.B
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
-                     self.LqPrep)
+                     self.LqPrep, self.ilv)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
-                                   self.LqPrep)
+                                   self.LqPrep, self.ilv)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

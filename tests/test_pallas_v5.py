@@ -1,0 +1,70 @@
+"""v5 latency-interleaved kernel (ops/pallas_v5.py): event streams at
+ilv>1 must be byte-identical to the v3 group path and the native oracle.
+Interpret mode (CPU). The TPU perf verdict (neutral at ilv=2, slower at
+ilv=4) and the floor analysis live in ops/DESIGN.md round-2 final notes.
+"""
+import numpy as np
+import pytest
+
+from lzani_tpu.core import native_engine as ne
+from lzani_tpu.ops.pallas_engine import PallasAll2All
+from lzani_tpu.params import Params
+
+
+@pytest.fixture(scope="module")
+def family():
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 4, 1400).astype(np.uint8)
+    codes = [base.copy()]
+    m = rng.rand(len(base)) < 0.05
+    c = base.copy()
+    c[m] = (c[m] + rng.randint(1, 4, m.sum())) % 4
+    codes.append(c)
+    # indels
+    c = base.copy()
+    for _ in range(4):
+        p = rng.randint(0, len(c) - 60)
+        c = np.concatenate([c[:p], c[p + rng.randint(1, 40):]])
+    codes.append(np.ascontiguousarray(c))
+    # unrelated + N-runs + short
+    codes.append(rng.randint(0, 4, 900).astype(np.uint8))
+    c = base[300:].copy()
+    c[rng.randint(0, len(c), 25)] = 4
+    codes.append(np.ascontiguousarray(c))
+    codes.append(rng.randint(0, 4, 320).astype(np.uint8))
+    return codes
+
+
+def _group_events(eng, codes, r_list):
+    gi = eng.build_group_index(r_list, eng.devices[0])
+    out = {}
+    for lo in range(0, eng.n_pad, eng.B):
+        evs = eng.collect_group(eng.dispatch_group(gi, lo,
+                                                   eng.devices[0]))
+        for g, r in enumerate(r_list):
+            if r < 0:
+                continue
+            for b in range(eng.B):
+                q = lo + b
+                if q < len(codes) and q != r:
+                    out[(r, q)] = evs[g][b]
+    return out
+
+
+def test_v5_ilv2_matches_v3_and_oracle(family):
+    codes = family
+    p = Params()
+    r_lists = [[0, 1, 2, 3], [4, 5, -1, -1]]
+    base_eng = PallasAll2All(codes, p, interpret=True, ilv=1)
+    v5_eng = PallasAll2All(codes, p, interpret=True, ilv=2)
+    base = {}
+    got = {}
+    for rl in r_lists:
+        base.update(_group_events(base_eng, codes, rl))
+        got.update(_group_events(v5_eng, codes, rl))
+    assert set(base) == set(got) and len(base) == 30
+    for (r, q), ev in base.items():
+        oracle = ne.parse_event_log(codes[r], codes[q], p)
+        assert ev is not None and np.array_equal(oracle, ev), (r, q)
+        assert got[(r, q)] is not None
+        assert np.array_equal(ev, got[(r, q)]), (r, q)
