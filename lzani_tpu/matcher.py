@@ -119,6 +119,36 @@ class Matcher:
         if self.filter is not None:
             csr = self.filter.indptr_ids(len(self.store))
 
+        # ---- multi-host launch (jax.distributed) ------------------------
+        # When a coordinator is configured (JAX_COORDINATOR_ADDRESS / TPU
+        # pod metadata), every process computes its stride partition of
+        # reference rows with the SELECTED backend, the per-pair triples
+        # (and alignment region records) are all-gathered over the
+        # distributed transport (DCN on pods), and process 0 alone writes
+        # outputs. Reference rows are longest-first, so the stride
+        # balances cost skew (SURVEY §7 L4; the reference is single-host).
+        mh_pid, mh_np = 0, 1
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from .parallel.distributed import init_distributed
+            mh_pid, mh_np = init_distributed()
+        eng_csr, eng_region = csr, region_path
+        mh_slots = mh_total = None
+        if mh_np > 1:
+            import numpy as np
+
+            from .parallel.distributed import local_filter_csr, \
+                partition_refs
+            n = len(self.store)
+            rows = partition_refs(n, mh_np, mh_pid)
+            l_indptr, l_ids, mh_slots = local_filter_csr(rows, n, csr)
+            eng_csr = (l_indptr, l_ids)
+            mh_total = (n * (n - 1) if csr is None
+                        else int(np.asarray(csr[0])[-1]))
+            if region_path:
+                eng_region = region_path + f".h{mh_pid}"
+            self._log(f"multi-host: process {mh_pid}/{mh_np} owns "
+                      f"{len(rows)} reference rows ({len(l_ids)} pairs)")
+
         if backend == "native":
             from .core import native_engine
             prog = None
@@ -149,8 +179,8 @@ class Matcher:
                 mon.start()
             try:
                 triples = native_engine.all2all(
-                    self.store.codes, p, filter_csr=csr,
-                    region_path=region_path, progress=prog)
+                    self.store.codes, p, filter_csr=eng_csr,
+                    region_path=eng_region, progress=prog)
             finally:
                 if mon is not None:
                     stop.set()
@@ -173,8 +203,9 @@ class Matcher:
                               flush=True)
                         state["last"] = s
 
-            triples = all2all_hybrid(self.store.codes, p, filter_csr=csr,
-                                     region_path=region_path,
+            triples = all2all_hybrid(self.store.codes, p,
+                                     filter_csr=eng_csr,
+                                     region_path=eng_region,
                                      progress=prog_cb)
         elif backend == "pallas":
             _enable_compile_cache()
@@ -194,8 +225,9 @@ class Matcher:
             # kernel (ops/pallas_v4.py; measured slower on vir61 — see
             # ops/DESIGN.md round-2 notes)
             kpair = int(os.environ.get("LZANI_TPU_KPAIR", "1"))
-            triples = all2all_pallas(self.store.codes, p, filter_csr=csr,
-                                     region_path=region_path,
+            triples = all2all_pallas(self.store.codes, p,
+                                     filter_csr=eng_csr,
+                                     region_path=eng_region,
                                      progress=prog_cb, kpair=kpair)
         elif backend == "jax":
             _enable_compile_cache()
@@ -209,16 +241,38 @@ class Matcher:
                         "exceed the accelerator's per-program budget. "
                         "Use --backend pallas.")
             from .ops.engine_jax import all2all_jax
-            triples = all2all_jax(self.store.codes, p, filter_csr=csr)
+            triples = all2all_jax(self.store.codes, p, filter_csr=eng_csr)
             if region_path:
                 # regions path currently served by the native engine
                 self._log("Alignment regions computed by the native engine "
                           "(second pass; --backend jax has no regions path)")
                 from .core import native_engine
-                native_engine.all2all(self.store.codes, p, filter_csr=csr,
-                                      region_path=region_path)
+                native_engine.all2all(self.store.codes, p,
+                                      filter_csr=eng_csr,
+                                      region_path=eng_region)
         else:
             raise ValueError(f"Unknown backend: {backend}")
+
+        if mh_np > 1:
+            import numpy as np
+
+            from .parallel.distributed import gather_merge
+            blob = b""
+            if eng_region and os.path.exists(eng_region):
+                with open(eng_region, "rb") as fh:
+                    blob = fh.read()
+                os.remove(eng_region)
+            flat, blob_all = gather_merge(mh_slots, triples, mh_total,
+                                          blob)
+            n = len(self.store)
+            triples = flat if csr is not None else flat.reshape(
+                n, max(n - 1, 0), 3)
+            if region_path and mh_pid == 0:
+                with open(region_path, "wb") as fh:
+                    fh.write(blob_all)
+            self._log(f"multi-host: merged triples from {mh_np} "
+                      f"processes")
+            self._is_output_rank = mh_pid == 0
 
         return triples, csr, region_path
 
@@ -226,6 +280,14 @@ class Matcher:
     def _store_results(self, triples, csr, region_path) -> bool:
         p = self.params
         store = self.store
+        if not getattr(self, "_is_output_rank", True):
+            # multi-host: every process holds the merged result, but
+            # outputs are written once (process 0)
+            self._log("multi-host: outputs written by process 0; "
+                      "this process skips the store phase")
+            if region_path and os.path.exists(region_path):
+                os.remove(region_path)
+            return True
 
         if p.output_type == "single_txt":
             if csr is None:

@@ -45,6 +45,13 @@ def init_distributed(coordinator_address: str | None = None,
                     or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if not have_env:
         return 0, 1
+    # this jax build does not read the standard launch env itself
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -106,6 +113,54 @@ def merge_host_triples(total_slots: int,
     for slots, triples in per_host:
         out[slots] = triples.reshape(-1, 3)
     return out
+
+
+def gather_merge(slots: np.ndarray, triples: np.ndarray,
+                 total_slots: int, region_blob: bytes = b""
+                 ) -> tuple[np.ndarray, bytes]:
+    """All-gather every host's (slots, triples[, region bytes]) over the
+    jax.distributed transport (DCN on pods, Gloo on CPU) and scatter-merge
+    into the full flat (total_slots, 3) result on EVERY host (slots are
+    disjoint by construction, so the merge is order-independent and all
+    hosts end identical). Region records are self-delimiting and
+    order-independent (lz_matcher.cpp:115-138 applies per record), so the
+    blobs simply concatenate in host order.
+
+    Single-process callers skip the collectives entirely."""
+    import jax
+
+    slots = np.asarray(slots, np.int64)
+    triples = np.asarray(triples, np.int32).reshape(-1, 3)
+    out = np.zeros((total_slots, 3), np.int32)
+    if jax.process_count() == 1:
+        out[slots] = triples
+        return out, region_blob
+    from jax.experimental import multihost_utils as mhu
+
+    # collectives need uniform shapes: exchange lengths, pad to the max
+    lens = np.asarray(mhu.process_allgather(
+        np.array([len(slots), len(region_blob)], np.int64)))
+    mx = max(int(lens[:, 0].max()), 1)
+    mb = int(lens[:, 1].max())
+    sl_p = np.zeros(mx, np.int64)
+    sl_p[:len(slots)] = slots
+    tr_p = np.zeros((mx, 3), np.int32)
+    tr_p[:len(slots)] = triples
+    all_sl = np.asarray(mhu.process_allgather(sl_p))
+    all_tr = np.asarray(mhu.process_allgather(tr_p))
+    all_rb = None
+    if mb:
+        rb_p = np.zeros(mb, np.uint8)
+        rb_p[:len(region_blob)] = np.frombuffer(region_blob, np.uint8)
+        all_rb = np.asarray(mhu.process_allgather(rb_p))
+    blob = b""
+    for h in range(lens.shape[0]):
+        k = int(lens[h, 0])
+        if k:
+            out[all_sl[h, :k]] = all_tr[h, :k]
+        if mb and lens[h, 1]:
+            blob += all_rb[h, :int(lens[h, 1])].tobytes()
+    return out, blob
 
 
 def all2all_multihost(codes, params, filter_csr=None, interpret=False,
