@@ -66,9 +66,12 @@ def reference_binary_rate(n_pairs: int, threads: int) -> float | None:
         cmd = [REF_BIN, "all2all", "--in-dir", VIR61, "--out",
                "/tmp/bench_ref.tsv", "-t", str(threads), "-V", "1"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        t0 = time.perf_counter()
-        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        dt = time.perf_counter() - t0
+        dt = 1e9
+        for _ in range(2):  # best-of-2: host noise only ever adds time
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=600)
+            dt = min(dt, time.perf_counter() - t0)
         return n_pairs / dt
     except Exception:
         return None
@@ -91,9 +94,11 @@ def main() -> int:
 
     p.no_threads = threads
     native_engine.all2all(codes, p)  # warm (.so build, page-in)
-    t0 = time.perf_counter()
-    ref_out = native_engine.all2all(codes, p)
-    cpu_dt = time.perf_counter() - t0
+    cpu_dt = 1e9
+    for _ in range(2):  # best-of-2 (see reference_binary_rate)
+        t0 = time.perf_counter()
+        ref_out = native_engine.all2all(codes, p)
+        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_rate = pairs / cpu_dt
 
     result = {
@@ -129,9 +134,11 @@ def main() -> int:
                 t0 = time.perf_counter()
                 all2all_pallas(sub, p)   # warm: Mosaic compiles
                 result["pallas_cold_s"] = round(time.perf_counter() - t0, 1)
-                t0 = time.perf_counter()
-                dev_out = all2all_pallas(sub, p)
-                dev_dt = time.perf_counter() - t0
+                dev_dt = 1e9
+                for _ in range(2):  # best-of-2
+                    t0 = time.perf_counter()
+                    dev_out = all2all_pallas(sub, p)
+                    dev_dt = min(dev_dt, time.perf_counter() - t0)
                 exact = np.array_equal(
                     dev_out, ref_out[:len(sub), :len(sub) - 1]
                     if len(sub) < n else ref_out)
@@ -148,9 +155,11 @@ def main() -> int:
                 from lzani_tpu.ops.pallas_engine import all2all_hybrid
 
                 hst = {}
-                t0 = time.perf_counter()
-                hyb_out = all2all_hybrid(codes, p, stats=hst)
-                hyb_dt = time.perf_counter() - t0
+                hyb_dt = 1e9
+                for _ in range(2):  # best-of-2
+                    t0 = time.perf_counter()
+                    hyb_out = all2all_hybrid(codes, p, stats=hst)
+                    hyb_dt = min(hyb_dt, time.perf_counter() - t0)
                 result["hybrid_pairs_per_s"] = round(pairs / hyb_dt, 1)
                 result["hybrid_exact"] = bool(
                     np.array_equal(hyb_out, ref_out))
