@@ -231,25 +231,31 @@ class Matcher:
                                      progress=prog_cb, kpair=kpair)
         elif backend == "jax":
             _enable_compile_cache()
-            import jax as _jax
-            if _jax.default_backend() not in ("cpu",):
-                max_len = max((len(c) for c in self.store.codes), default=0)
-                if max_len > 8192:
-                    raise RuntimeError(
-                        "--backend jax (reference automaton) is a "
-                        "CPU/semantic-validation path; sequences this large "
-                        "exceed the accelerator's per-program budget. "
-                        "Use --backend pallas.")
-            from .ops.engine_jax import all2all_jax
-            triples = all2all_jax(self.store.codes, p, filter_csr=eng_csr)
             if region_path:
-                # regions path currently served by the native engine
-                self._log("Alignment regions computed by the native engine "
-                          "(second pass; --backend jax has no regions path)")
+                # the automaton has no regions path; rather than run the
+                # whole all2all twice (jax triples + a native regions
+                # pass), ONE native pass serves both
+                self._log("--backend jax has no alignment-regions path; "
+                          "this run is served by the native engine "
+                          "(one pass)")
                 from .core import native_engine
-                native_engine.all2all(self.store.codes, p,
-                                      filter_csr=eng_csr,
-                                      region_path=eng_region)
+                triples = native_engine.all2all(self.store.codes, p,
+                                                filter_csr=eng_csr,
+                                                region_path=eng_region)
+            else:
+                import jax as _jax
+                if _jax.default_backend() not in ("cpu",):
+                    max_len = max((len(c) for c in self.store.codes),
+                                  default=0)
+                    if max_len > 8192:
+                        raise RuntimeError(
+                            "--backend jax (reference automaton) is a "
+                            "CPU/semantic-validation path; sequences this "
+                            "large exceed the accelerator's per-program "
+                            "budget. Use --backend pallas.")
+                from .ops.engine_jax import all2all_jax
+                triples = all2all_jax(self.store.codes, p,
+                                      filter_csr=eng_csr)
         else:
             raise ValueError(f"Unknown backend: {backend}")
 
