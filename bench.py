@@ -156,16 +156,23 @@ def main() -> int:
 
                 hst = {}
                 hyb_dt = 1e9
-                for _ in range(2):  # best-of-2
+                for _ in range(2):  # interleaved A/B: host load drifts
+                    t0 = time.perf_counter()
+                    native_engine.all2all(codes, p)
+                    cpu_dt = min(cpu_dt, time.perf_counter() - t0)
                     t0 = time.perf_counter()
                     hyb_out = all2all_hybrid(codes, p, stats=hst)
                     hyb_dt = min(hyb_dt, time.perf_counter() - t0)
+                cpu_rate = pairs / cpu_dt
+                result["native_pairs_per_s"] = round(cpu_rate, 1)
+                baseline = ref_rate or cpu_rate
                 result["hybrid_pairs_per_s"] = round(pairs / hyb_dt, 1)
                 result["hybrid_exact"] = bool(
                     np.array_equal(hyb_out, ref_out))
                 result["hybrid_tpu_pairs"] = hst.get("tpu_pairs")
                 result["hybrid_vs_baseline"] = round(
                     pairs / hyb_dt / baseline, 4)
+
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
 
