@@ -288,11 +288,12 @@ class Matcher:
         store = self.store
         if not getattr(self, "_is_output_rank", True):
             # multi-host: every process holds the merged result, but
-            # outputs are written once (process 0)
+            # outputs are written once (process 0). Do NOT touch
+            # region_path here — this rank never created it, and on a
+            # shared filesystem (the documented same-invocation launch)
+            # it is the file rank 0 is about to read.
             self._log("multi-host: outputs written by process 0; "
                       "this process skips the store phase")
-            if region_path and os.path.exists(region_path):
-                os.remove(region_path)
             return True
 
         if p.output_type == "single_txt":

@@ -1869,6 +1869,12 @@ class PallasAll2All:
         if ilv is None:
             import os as _os
             ilv = int(_os.environ.get("LZANI_TPU_ILV", "0")) or 1
+        if ilv < 1 or (ilv & (ilv - 1)):
+            # B is always a power-of-two bucket; anything else cannot
+            # divide the grid — fail loudly, not with a bare assert
+            raise ValueError(
+                f"LZANI_TPU_ILV/ilv must be a power of two >= 1 "
+                f"(got {ilv})")
         self.ilv = ilv
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)

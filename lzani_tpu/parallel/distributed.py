@@ -131,35 +131,42 @@ def gather_merge(slots: np.ndarray, triples: np.ndarray,
 
     slots = np.asarray(slots, np.int64)
     triples = np.asarray(triples, np.int32).reshape(-1, 3)
-    out = np.zeros((total_slots, 3), np.int32)
     if jax.process_count() == 1:
-        out[slots] = triples
+        out = merge_host_triples(total_slots, [(slots, triples)])
         return out, region_blob
     from jax.experimental import multihost_utils as mhu
 
-    # collectives need uniform shapes: exchange lengths, pad to the max
+    # collectives need uniform shapes: exchange lengths, pad to the max.
+    # NB every array goes through jnp with x64 disabled, so int64 would
+    # silently truncate — slots ship as two int32 halves (dense slots
+    # exceed 2^31 from ~46k genomes).
     lens = np.asarray(mhu.process_allgather(
-        np.array([len(slots), len(region_blob)], np.int64)))
+        np.array([len(slots), len(region_blob)], np.int32)))
     mx = max(int(lens[:, 0].max()), 1)
     mb = int(lens[:, 1].max())
     sl_p = np.zeros(mx, np.int64)
     sl_p[:len(slots)] = slots
     tr_p = np.zeros((mx, 3), np.int32)
     tr_p[:len(slots)] = triples
-    all_sl = np.asarray(mhu.process_allgather(sl_p))
+    sl_lo = np.asarray(mhu.process_allgather(
+        (sl_p & 0x7FFFFFFF).astype(np.int32)))
+    sl_hi = np.asarray(mhu.process_allgather(
+        (sl_p >> 31).astype(np.int32)))
+    all_sl = (sl_hi.astype(np.int64) << 31) | sl_lo.astype(np.int64)
     all_tr = np.asarray(mhu.process_allgather(tr_p))
     all_rb = None
     if mb:
         rb_p = np.zeros(mb, np.uint8)
         rb_p[:len(region_blob)] = np.frombuffer(region_blob, np.uint8)
         all_rb = np.asarray(mhu.process_allgather(rb_p))
+    out = merge_host_triples(
+        total_slots,
+        [(all_sl[h, :int(lens[h, 0])], all_tr[h, :int(lens[h, 0])])
+         for h in range(lens.shape[0])])
     blob = b""
-    for h in range(lens.shape[0]):
-        k = int(lens[h, 0])
-        if k:
-            out[all_sl[h, :k]] = all_tr[h, :k]
-        if mb and lens[h, 1]:
-            blob += all_rb[h, :int(lens[h, 1])].tobytes()
+    if mb:
+        blob = b"".join(all_rb[h, :int(lens[h, 1])].tobytes()
+                        for h in range(lens.shape[0]))
     return out, blob
 
 

@@ -81,15 +81,17 @@ def write_filter(fam_of, rng):
         for f, mem in members.items():
             mem = np.array(mem)
             for a_i, a in enumerate(mem):
-                # upper-triangle entries only; loader symmetrizes
+                # upper-triangle entries only; loader symmetrizes.
+                # ~15% of entries land below the 0.2 CLI threshold, so
+                # the loader's threshold branch is actually exercised
                 for b in mem[a_i + 1:]:
-                    v = rng.uniform(0.3, 0.9)
+                    v = rng.uniform(0.05, 0.9)
                     rows[a].append((int(b), v))
         for i, row in enumerate(rows):
             fh.write(names[i])
             for j, v in row:
                 fh.write(f",{j + 1}:{v:.4f}")
-                if v >= 0.2:
+                if round(v, 4) >= 0.2:  # what the CLI will parse
                     kept += 2  # symmetrized
             fh.write("\n")
     print(f"filter: {kept} directed pairs written in "

@@ -67,7 +67,10 @@ def test_two_process_cli_matches_single(fasta, tmp_path):
           "--out-alignment", single_aln, "-t", "2", "-V", "0",
           "--backend", "native"])
 
-    port = 19473
+    import socket
+    with socket.socket() as s:  # a free port (fixed ports collide
+        s.bind(("127.0.0.1", 0))  # across concurrent/back-to-back runs)
+        port = s.getsockname()[1]
     outs = [str(tmp_path / f"mh{i}.tsv") for i in range(2)]
     alns = [str(tmp_path / f"mh{i}.aln.tsv") for i in range(2)]
     procs = []
