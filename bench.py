@@ -156,16 +156,27 @@ def main() -> int:
 
                 hst = {}
                 hyb_dt = 1e9
-                for _ in range(2):  # interleaved A/B: host load drifts
-                    t0 = time.perf_counter()
-                    native_engine.all2all(codes, p)
-                    cpu_dt = min(cpu_dt, time.perf_counter() - t0)
-                    rep_st = {}
-                    t0 = time.perf_counter()
-                    hyb_out = all2all_hybrid(codes, p, stats=rep_st)
-                    rep_dt = time.perf_counter() - t0
-                    if rep_dt < hyb_dt:  # stats travel with the best rep
-                        hyb_dt, hst = rep_dt, rep_st
+                hyb_out = None
+                for rep in range(2):  # interleaved A/B, alternating
+                    #                   order: host load drifts
+                    def _nat():
+                        nonlocal cpu_dt
+                        t0 = time.perf_counter()
+                        native_engine.all2all(codes, p)
+                        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+
+                    def _hyb():
+                        nonlocal hyb_dt, hst, hyb_out
+                        rep_st = {}
+                        t0 = time.perf_counter()
+                        out = all2all_hybrid(codes, p, stats=rep_st)
+                        rep_dt = time.perf_counter() - t0
+                        if rep_dt < hyb_dt:  # stats travel w/ best rep
+                            hyb_dt, hst, hyb_out = rep_dt, rep_st, out
+
+                    for f in ((_nat, _hyb) if rep % 2 == 0
+                              else (_hyb, _nat)):
+                        f()
                 cpu_rate = pairs / cpu_dt
                 result["native_pairs_per_s"] = round(cpu_rate, 1)
                 baseline = ref_rate or cpu_rate

@@ -1865,11 +1865,14 @@ class PallasAll2All:
         n = len(codes)
         self.kpair = self.KPAIR if kpair is None else kpair
         # v5 latency-interleave width for the GROUP path (queries per
-        # kernel program; ops/pallas_v5.py). Env override for A/B runs.
+        # kernel program; ops/pallas_v5.py). Env override for A/B runs;
+        # 0/None = auto (resolved after LqP below: ilv=2 measured +5%
+        # on interleaved full-vir61 process pairs, within the validated
+        # VMEM envelope only).
         if ilv is None:
             import os as _os
-            ilv = int(_os.environ.get("LZANI_TPU_ILV", "0")) or 1
-        if ilv < 1 or (ilv & (ilv - 1)):
+            ilv = int(_os.environ.get("LZANI_TPU_ILV", "0"))
+        if ilv and (ilv < 1 or (ilv & (ilv - 1))):
             # B is always a power-of-two bucket; anything else cannot
             # divide the grid — fail loudly, not with a bare assert
             raise ValueError(
@@ -1891,6 +1894,11 @@ class PallasAll2All:
         self.LqPrep = next(w for w in (self.LqP // 2, self.LqP * 3 // 4,
                                        self.LqP) if w >= need)
         self.packed_ev = self.LqP <= (1 << 16)
+        if not self.ilv:
+            # auto: interleave 2 queries/program (v5) inside the
+            # VMEM envelope validated on TPU (vir61's LqP bucket);
+            # bigger buckets keep the v3 single-query program
+            self.ilv = 2 if self.LqP <= (1 << 18) else 1
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
             self.B = max(self.B, self.kpair)    # grid needs B % K == 0

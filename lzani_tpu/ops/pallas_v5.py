@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .anchor_tables import SAT
 from .parse import ParseCfg
 from .pallas_engine import (BIG, CAP, CEF, CH, I32, WCOLS, WROWS,
-                            diag_lce, lane_iota, reverse_lanes, to_col)
+                            lane_iota, reverse_lanes, to_col)
 from .pallas_v4 import align_load_r, vext_r
 
 __all__ = ["make_parse_kernel_ilv"]
@@ -293,59 +293,96 @@ def make_parse_kernel_ilv(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
         di23 = di << 23
 
-        def window_phase(k, state):
-            """Straight-line per-pair window build + combined reduce
-            (v3 sync_window lines 605-696 with d_base == 0: the flattened
-            loop re-enters at i0 == i every iteration). Returns the
-            scalar pk plus the VREG context the rare contest path
-            needs."""
-            (i, pred, lit_run, _rl, _rh, _tl, _lb, _ne, _pend,
-             a_min) = state
-            dsz = dszs[k]
-            i0 = i
-            b0 = jnp.maximum(pred - lit_run, 0)
-            qrow = align_load_r(qbuf, k, i0, 128)
-            rrow = align_load_r(refbuf, 0, b0, WCOLS)
-            qcol = to_col(qrow, cmat[:, 0:128])[:WROWS]
-            E = (qcol == rrow).astype(I32)
-            S = diag_lce(E, CAP, rowi, coli)
-            SgeM = S >= msl
-            SU = SgeM & (S < Scap)
-            SC = SgeM & (S >= Scap)
-            S18 = S << 18
-            Sbase = jnp.where(SC, 1 << 24, 0) + S18
-
-            cvec = align_load_r(cand, k, i0, 128)
-            anch_col = to_col((cvec > 0).astype(I32),
-                              cmat[:, 0:128])[:WROWS]
-            anch_bit = jnp.where(anch_col > 0, 1 << 22, 0)
-
-            D_eff = jnp.minimum(mqd - lit_run + 1, (dsz - msl) - i)
-            c_lo = (pred - lit_run) - b0
-            off = pred - b0
-            live = (rowi >= 0) & (rowi < D_eff)
-            geo = live & (coli >= c_lo) & (cmr < off + mrd)
-            dist = jnp.abs(cmr - off)
-            tie = ((127 - dist) << 9) | c511
-            R1 = jnp.max(jnp.where(geo & SgeM, Sbase + tie, -1),
-                         axis=1, keepdims=True)
-            cap_r = R1 >= (1 << 24)
-            lmax_r = (R1 >> 18) & 63
-            brel_r = 511 - (R1 & 511)
-            sf_r = ~cap_r & (R1 >= (msl << 18))
-            live1 = (di >= 0) & (di < D_eff)
-            hit = ((R1 >= (msl << 18)) | (anch_col > 0)) & live1
-            packed_rows = jnp.where(
-                hit,
-                di23 + anch_bit
-                + jnp.where(sf_r, (1 << 21) + (lmax_r << 15)
-                            + (brel_r << 6), 0)
-                + jnp.where(cap_r, 1 << 5, 0),
-                BIG)
-            pk = jnp.min(jnp.where(di >= a_min, packed_rows, BIG))
-            return {"pk": pk, "i0": i0, "b0": b0, "D_eff": D_eff,
-                    "geo": geo, "SU": SU, "SgeM": SgeM, "S": S,
-                    "S18": S18, "tie": tie}
+        def window_phase_all(states):
+            """Window build + combined reduce for ALL K pairs with the
+            ops INTERLEAVED in emission (= program) order: op j of pair
+            0, op j of pair 1, ..., then op j+1 of pair 0, ... Mosaic
+            schedules mostly in order, so per-pair sequential BLOCKS do
+            not overlap (measured: block-emitted v5 was neutral); the
+            microbench shape that overlaps for free is exactly this
+            per-op alternation (scripts/calibrate_mosaic_loop.py chain2/
+            chain4). Semantics per pair are v3 sync_window lines 605-696
+            with d_base == 0 (the flattened loop re-enters at i0 == i).
+            Returns one dict per pair: the scalar pk plus the VREG
+            context the rare contest path needs."""
+            K_ = len(states)
+            w = [{} for _ in range(K_)]
+            # scalars (SREG work, cheap)
+            for k, st in enumerate(states):
+                i, pred, lit_run = st[0], st[1], st[2]
+                w[k]["i0"] = i
+                w[k]["b0"] = jnp.maximum(pred - lit_run, 0)
+                w[k]["D_eff"] = jnp.minimum(mqd - lit_run + 1,
+                                            (dszs[k] - msl) - i)
+                w[k]["c_lo"] = (pred - lit_run) - w[k]["b0"]
+                w[k]["off"] = pred - w[k]["b0"]
+            # loads (independent; issue together)
+            qrow = [align_load_r(qbuf, k, w[k]["i0"], 128)
+                    for k in range(K_)]
+            rrow = [align_load_r(refbuf, 0, w[k]["b0"], WCOLS)
+                    for k in range(K_)]
+            cvec = [align_load_r(cand, k, w[k]["i0"], 128)
+                    for k in range(K_)]
+            # MXU transposes
+            qcol = [to_col(qrow[k], cmat[:, 0:128])[:WROWS]
+                    for k in range(K_)]
+            anch_col = [to_col((cvec[k] > 0).astype(I32),
+                               cmat[:, 0:128])[:WROWS] for k in range(K_)]
+            E = [(qcol[k] == rrow[k]).astype(I32) for k in range(K_)]
+            # capped diagonal LCE, round-by-round across pairs (the
+            # dependent chain each pair waits on; alternation hides it)
+            S = list(E)
+            step = 1
+            while step < CAP:
+                for k in range(K_):
+                    M2 = pltpu.roll(pltpu.roll(S[k], WROWS - step, 0),
+                                    WCOLS - step, 1)
+                    take = ((S[k] == step) & (rowi < WROWS - step)
+                            & (coli < WCOLS - step))
+                    S[k] = S[k] + jnp.where(take, M2, 0)
+                step *= 2
+            for k in range(K_):
+                w[k]["S"] = S[k]
+                w[k]["SgeM"] = S[k] >= msl
+                w[k]["SU"] = w[k]["SgeM"] & (S[k] < Scap)
+                w[k]["S18"] = S[k] << 18
+            Sbase = [jnp.where(w[k]["SgeM"] & (S[k] >= Scap), 1 << 24, 0)
+                     + w[k]["S18"] for k in range(K_)]
+            geo = [None] * K_
+            tie = [None] * K_
+            R1 = [None] * K_
+            for k in range(K_):
+                live = (rowi >= 0) & (rowi < w[k]["D_eff"])
+                geo[k] = (live & (coli >= w[k]["c_lo"])
+                          & (cmr < w[k]["off"] + mrd))
+                tie[k] = ((127 - jnp.abs(cmr - w[k]["off"])) << 9) | c511
+            for k in range(K_):
+                R1[k] = jnp.max(
+                    jnp.where(geo[k] & w[k]["SgeM"], Sbase[k] + tie[k],
+                              -1), axis=1, keepdims=True)
+            packed = [None] * K_
+            for k in range(K_):
+                cap_r = R1[k] >= (1 << 24)
+                lmax_r = (R1[k] >> 18) & 63
+                brel_r = 511 - (R1[k] & 511)
+                sf_r = ~cap_r & (R1[k] >= (msl << 18))
+                live1 = (di >= 0) & (di < w[k]["D_eff"])
+                hit = ((R1[k] >= (msl << 18)) | (anch_col[k] > 0)) & live1
+                anch_bit = jnp.where(anch_col[k] > 0, 1 << 22, 0)
+                packed[k] = jnp.where(
+                    hit,
+                    di23 + anch_bit
+                    + jnp.where(sf_r, (1 << 21) + (lmax_r << 15)
+                                + (brel_r << 6), 0)
+                    + jnp.where(cap_r, 1 << 5, 0),
+                    BIG)
+            for k in range(K_):
+                a_min = states[k][9]
+                w[k]["pk"] = jnp.min(jnp.where(di >= a_min, packed[k],
+                                               BIG))
+                w[k]["geo"] = geo[k]
+                w[k]["tie"] = tie[k]
+            return w
 
         def sync_tail(k, state, w):
             """v3 win_body decision tail (one event attempt), flattened:
@@ -476,7 +513,7 @@ def make_parse_kernel_ilv(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 # phase 1: ALL window builds straight-line (this is the
                 # point of v5 — K independent dependent-op chains share
                 # one latency shadow)
-                ws = [window_phase(k, sts[k]) for k in range(K)]
+                ws = window_phase_all(sts)
                 # phase 2: short per-pair decision tails (serialize)
                 out = []
                 for k in range(K):
