@@ -1895,13 +1895,14 @@ class PallasAll2All:
                                        self.LqP) if w >= need)
         self.packed_ev = self.LqP <= (1 << 16)
         if not self.ilv:
-            # auto = 1: ilv=2 measured +5% on similarity-dense vir61 but
-            # -56% on a mutation-heavy/dissimilar set — the flattened v5
-            # loop loses v3's in-window event chaining, worthless at
-            # vir61's 1.07 chain rate but heavy when events are dense
-            # (scripts/ab_dissimilar.py). The robust default wins;
-            # LZANI_TPU_ILV=2 opts in for similarity-dense workloads.
-            self.ilv = 1
+            # auto: the v5 ilv=2 interleave measured >= v3 on every
+            # workload regime once timed with min-of-N (vir61 +5% over 5
+            # interleaved process runs; mixed dissimilar-heavy +3-6%;
+            # pure dissimilar +7% — scripts/ab_dissimilar.py; an early
+            # -56% reading was a single-shot tunnel artifact that did
+            # not reproduce). Auto stays inside the TPU-validated VMEM
+            # envelope; larger buckets keep the v3 single-query program.
+            self.ilv = 2 if self.LqP <= (1 << 18) else 1
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
             self.B = max(self.B, self.kpair)    # grid needs B % K == 0

@@ -56,9 +56,11 @@ def main():
     t0 = time.perf_counter()
     out = all2all_pallas(codes, p)   # cold (compile + load)
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = all2all_pallas(codes, p)
-    warm = time.perf_counter() - t0
+    warm = 1e9
+    for _ in range(3):  # min-of-3: a single shot through this tunnel
+        t0 = time.perf_counter()   # can be 2x off (measured)
+        out = all2all_pallas(codes, p)
+        warm = min(warm, time.perf_counter() - t0)
     print(f"[{label}] ILV={os.environ.get('LZANI_TPU_ILV', 'auto')} "
           f"N={N} pairs={pairs}: warm {pairs/warm:.1f} pairs/s "
           f"(cold {cold:.0f}s) exact={np.array_equal(out, ref)}",
