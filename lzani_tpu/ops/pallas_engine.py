@@ -1200,7 +1200,8 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
-                   interpret: bool = False, kpair: int | None = None):
+                   interpret: bool = False, kpair: int | None = None,
+                   ilv: int | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -1242,7 +1243,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         # own chips (jax.devices() would span non-addressable ones)
         devices = jax.local_devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
-                        interpret=interpret, kpair=kpair)
+                        interpret=interpret, kpair=kpair, ilv=ilv)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)

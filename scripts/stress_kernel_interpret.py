@@ -106,8 +106,10 @@ def main():
                  for _ in range(4)]
         codes.append(base[: L // 2].copy())
         want = ne.all2all(codes, pt)
-        for kp, tag in ((1, "v2"), (2, "v4k2"), (4, "v4k4")):
-            got = all2all_pallas(codes, pt, interpret=True, kpair=kp)
+        for kp, ilv, tag in ((1, 1, "v3"), (1, 2, "v5k2"), (1, 4, "v5k4"),
+                             (2, None, "v4k2"), (4, None, "v4k4")):
+            got = all2all_pallas(codes, pt, interpret=True, kpair=kp,
+                                 ilv=ilv)
             if np.array_equal(got, want):
                 print(f"driver trial {t} {tag}: OK", flush=True)
             else:
