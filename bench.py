@@ -154,31 +154,53 @@ def main() -> int:
                 # device adds what the throttle lets it claim.
                 from lzani_tpu.ops.pallas_engine import all2all_hybrid
 
+                # the reference / native / hybrid ratios are the headline
+                # claims, and host load drifts minute-scale (native vir61
+                # spanned 2119-3150 pairs/s in one session) — so all
+                # THREE run interleaved round-robin, best-of-3 each
                 hst = {}
                 hyb_dt = 1e9
                 hyb_out = None
-                for rep in range(2):  # interleaved A/B, alternating
-                    #                   order: host load drifts
-                    def _nat():
-                        nonlocal cpu_dt
-                        t0 = time.perf_counter()
-                        native_engine.all2all(codes, p)
-                        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+                ref_dt = 1e9
+                ref_cmd = ([REF_BIN, "all2all", "--in-dir", VIR61,
+                            "--out", "/tmp/bench_ref.tsv", "-t",
+                            str(threads), "-V", "1"]
+                           if os.path.exists(REF_BIN) else None)
 
-                    def _hyb():
-                        nonlocal hyb_dt, hst, hyb_out
-                        rep_st = {}
-                        t0 = time.perf_counter()
-                        out = all2all_hybrid(codes, p, stats=rep_st)
-                        rep_dt = time.perf_counter() - t0
-                        if rep_dt < hyb_dt:  # stats travel w/ best rep
-                            hyb_dt, hst, hyb_out = rep_dt, rep_st, out
+                def _ref():
+                    nonlocal ref_dt
+                    if ref_cmd is None:
+                        return
+                    t0 = time.perf_counter()
+                    subprocess.run(ref_cmd, check=True,
+                                   capture_output=True, timeout=600)
+                    ref_dt = min(ref_dt, time.perf_counter() - t0)
 
-                    for f in ((_nat, _hyb) if rep % 2 == 0
-                              else (_hyb, _nat)):
-                        f()
+                def _nat():
+                    nonlocal cpu_dt
+                    t0 = time.perf_counter()
+                    native_engine.all2all(codes, p)
+                    cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+
+                def _hyb():
+                    nonlocal hyb_dt, hst, hyb_out
+                    rep_st = {}
+                    t0 = time.perf_counter()
+                    out = all2all_hybrid(codes, p, stats=rep_st)
+                    rep_dt = time.perf_counter() - t0
+                    if rep_dt < hyb_dt:  # stats travel w/ best rep
+                        hyb_dt, hst, hyb_out = rep_dt, rep_st, out
+
+                order = (_ref, _nat, _hyb)
+                for rep in range(3):
+                    for j in range(3):
+                        order[(rep + j) % 3]()
                 cpu_rate = pairs / cpu_dt
                 result["native_pairs_per_s"] = round(cpu_rate, 1)
+                if ref_dt < 1e9:
+                    ref_rate = pairs / ref_dt
+                    result["reference_binary_pairs_per_s"] = round(
+                        ref_rate, 1)
                 baseline = ref_rate or cpu_rate
                 result["hybrid_pairs_per_s"] = round(pairs / hyb_dt, 1)
                 result["hybrid_exact"] = bool(
