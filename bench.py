@@ -50,8 +50,10 @@ def load_vir61():
     return p, store
 
 
-def reference_binary_rate(n_pairs: int, threads: int) -> float | None:
-    """Build (once) and time the actual reference binary on vir61."""
+def reference_cmd(threads: int) -> list[str] | None:
+    """Build (once) + warm the reference binary; return its vir61
+    invocation, or None when unavailable. Timing happens at the caller
+    (interleaved with the engines it is ratioed against)."""
     if not os.path.isdir(VIR61):
         return None
     try:
@@ -66,15 +68,18 @@ def reference_binary_rate(n_pairs: int, threads: int) -> float | None:
         cmd = [REF_BIN, "all2all", "--in-dir", VIR61, "--out",
                "/tmp/bench_ref.tsv", "-t", str(threads), "-V", "1"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        dt = 1e9
-        for _ in range(2):  # best-of-2: host noise only ever adds time
-            t0 = time.perf_counter()
-            subprocess.run(cmd, check=True, capture_output=True,
-                           timeout=600)
-            dt = min(dt, time.perf_counter() - t0)
-        return n_pairs / dt
+        return cmd
     except Exception:
         return None
+
+
+def time_cmd_best(cmd: list[str], reps: int) -> float:
+    dt = 1e9
+    for _ in range(reps):  # best-of-N: host noise only ever adds time
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        dt = min(dt, time.perf_counter() - t0)
+    return dt
 
 
 def main() -> int:
@@ -86,20 +91,18 @@ def main() -> int:
     pairs = n * (n - 1)
     threads = os.cpu_count() or 1
 
-    # --- reference binary (the baseline being beaten) ---------------------
-    ref_rate = reference_binary_rate(pairs, threads)
+    # --- reference binary (the baseline being beaten): build + warm now,
+    # TIME it interleaved with whichever engines get reported ------------
+    ref_cmd = reference_cmd(threads)
+    ref_rate = None
 
     # --- CPU production backend (reference-equivalent) --------------------
     from lzani_tpu.core import native_engine
 
     p.no_threads = threads
     native_engine.all2all(codes, p)  # warm (.so build, page-in)
-    cpu_dt = 1e9
-    for _ in range(2):  # best-of-2 (see reference_binary_rate)
-        t0 = time.perf_counter()
-        ref_out = native_engine.all2all(codes, p)
-        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
-    cpu_rate = pairs / cpu_dt
+    ref_out = native_engine.all2all(codes, p)
+    cpu_rate = None
 
     result = {
         "metric": "vir61_pallas_pairs_per_s",
@@ -107,11 +110,7 @@ def main() -> int:
         "backend": "pallas-tpu",
         "n_genomes": n,
         "threads": threads,
-        "native_pairs_per_s": round(cpu_rate, 1),
-        "reference_binary_pairs_per_s":
-            round(ref_rate, 1) if ref_rate else None,
     }
-    baseline = ref_rate or cpu_rate
 
     # --- TPU event-log engine ---------------------------------------------
     dev_rate = None
@@ -159,22 +158,13 @@ def main() -> int:
                 # spanned 2119-3150 pairs/s in one session) — so all
                 # THREE run interleaved round-robin, best-of-3 each
                 hst = {}
-                hyb_dt = 1e9
+                cpu_dt = hyb_dt = ref_dt = 1e9
                 hyb_out = None
-                ref_dt = 1e9
-                ref_cmd = ([REF_BIN, "all2all", "--in-dir", VIR61,
-                            "--out", "/tmp/bench_ref.tsv", "-t",
-                            str(threads), "-V", "1"]
-                           if os.path.exists(REF_BIN) else None)
 
                 def _ref():
                     nonlocal ref_dt
-                    if ref_cmd is None:
-                        return
-                    t0 = time.perf_counter()
-                    subprocess.run(ref_cmd, check=True,
-                                   capture_output=True, timeout=600)
-                    ref_dt = min(ref_dt, time.perf_counter() - t0)
+                    if ref_cmd is not None:
+                        ref_dt = min(ref_dt, time_cmd_best(ref_cmd, 1))
 
                 def _nat():
                     nonlocal cpu_dt
@@ -196,22 +186,37 @@ def main() -> int:
                     for j in range(3):
                         order[(rep + j) % 3]()
                 cpu_rate = pairs / cpu_dt
-                result["native_pairs_per_s"] = round(cpu_rate, 1)
                 if ref_dt < 1e9:
                     ref_rate = pairs / ref_dt
-                    result["reference_binary_pairs_per_s"] = round(
-                        ref_rate, 1)
-                baseline = ref_rate or cpu_rate
                 result["hybrid_pairs_per_s"] = round(pairs / hyb_dt, 1)
                 result["hybrid_exact"] = bool(
                     np.array_equal(hyb_out, ref_out))
                 result["hybrid_tpu_pairs"] = hst.get("tpu_pairs")
-                result["hybrid_vs_baseline"] = round(
-                    pairs / hyb_dt / baseline, 4)
 
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
 
+    if cpu_rate is None or (ref_cmd is not None and ref_rate is None):
+        # the device round-robin didn't run (no device / pallas error):
+        # measure the baselines now, still interleaved, best-of-2 each
+        cpu_dt = ref_dt = 1e9
+        for _ in range(2):
+            if ref_cmd is not None:
+                ref_dt = min(ref_dt, time_cmd_best(ref_cmd, 1))
+            t0 = time.perf_counter()
+            native_engine.all2all(codes, p)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_rate = pairs / cpu_dt
+        if ref_dt < 1e9:
+            ref_rate = pairs / ref_dt
+
+    result["native_pairs_per_s"] = round(cpu_rate, 1)
+    result["reference_binary_pairs_per_s"] = (round(ref_rate, 1)
+                                              if ref_rate else None)
+    baseline = ref_rate or cpu_rate
+    if "hybrid_pairs_per_s" in result:
+        result["hybrid_vs_baseline"] = round(
+            result["hybrid_pairs_per_s"] / baseline, 4)
     if dev_rate is not None:
         result["value"] = round(dev_rate, 1)
         result["vs_baseline"] = round(dev_rate / baseline, 4)

@@ -49,21 +49,34 @@ def synth():
 
 
 def run(procs_env_outs, threads):
+    # stderr to files, not PIPEs: ranks block each other at the
+    # allgather barrier, and an un-drained pipe that fills would
+    # deadlock the whole launch until the timeout
     ps = []
-    for env_extra, out in procs_env_outs:
-        env = dict(os.environ)
-        env.update(env_extra)
-        ps.append(subprocess.Popen(
-            [sys.executable, "-c", RUNNER, "all2all", "--in-fasta",
-             os.path.join(WORK, "set.fna"), "--out", out, "-t",
-             str(threads), "-V", "0", "--backend", "native"],
-            cwd=REPO, env=env, stdout=subprocess.DEVNULL,
-            stderr=subprocess.PIPE, text=True))
-    t0 = time.perf_counter()
-    for p in ps:
-        _, err = p.communicate(timeout=3600)
-        assert p.returncode == 0, err[-1500:]
-    return time.perf_counter() - t0
+    errs = []
+    try:
+        for i, (env_extra, out) in enumerate(procs_env_outs):
+            env = dict(os.environ)
+            env.update(env_extra)
+            ef = open(os.path.join(WORK, f"err{i}.log"), "w+")
+            errs.append(ef)
+            ps.append(subprocess.Popen(
+                [sys.executable, "-c", RUNNER, "all2all", "--in-fasta",
+                 os.path.join(WORK, "set.fna"), "--out", out, "-t",
+                 str(threads), "-V", "0", "--backend", "native"],
+                cwd=REPO, env=env, stdout=subprocess.DEVNULL, stderr=ef))
+        t0 = time.perf_counter()
+        for p, ef in zip(ps, errs):
+            p.wait(timeout=3600)
+            ef.seek(0)
+            assert p.returncode == 0, ef.read()[-1500:]
+        return time.perf_counter() - t0
+    finally:
+        for p in ps:  # never orphan a coordinated peer
+            if p.poll() is None:
+                p.kill()
+        for ef in errs:
+            ef.close()
 
 
 def main():
@@ -71,18 +84,20 @@ def main():
     cores = os.cpu_count() or 4
     pairs = N * (N - 1)
 
-    # single process, all cores (best-of-2)
-    single = min(run([({}, os.path.join(WORK, "single.tsv"))], cores)
-                 for _ in range(2))
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
     outs = [os.path.join(WORK, f"mh{i}.tsv") for i in range(P)]
-    envs = [({"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-              "JAX_NUM_PROCESSES": str(P), "JAX_PROCESS_ID": str(i)},
-             outs[i]) for i in range(P)]
-    multi = run(envs, max(1, cores // P))
+    single = multi = 1e9
+    for _ in range(2):  # interleaved best-of-2 (min-of-N or it didn't
+        #                 happen; host load drifts minute-scale)
+        single = min(single,
+                     run([({}, os.path.join(WORK, "single.tsv"))],
+                         cores))
+        with socket.socket() as s:  # fresh free port per launch
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        envs = [({"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                  "JAX_NUM_PROCESSES": str(P),
+                  "JAX_PROCESS_ID": str(i)}, outs[i]) for i in range(P)]
+        multi = min(multi, run(envs, max(1, cores // P)))
 
     with open(os.path.join(WORK, "single.tsv"), "rb") as a, \
             open(outs[0], "rb") as b:
