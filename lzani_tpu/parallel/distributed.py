@@ -115,6 +115,19 @@ def merge_host_triples(total_slots: int,
     return out
 
 
+def split_slots_i32(slots: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int64 slot indices -> two int32 halves (lo 31 bits, hi bits).
+    The distributed transport runs with x64 disabled, so int64 arrays
+    would silently truncate; dense slots exceed 2^31 from ~46k genomes."""
+    s = np.asarray(slots, np.int64)
+    return (s & 0x7FFFFFFF).astype(np.int32), (s >> 31).astype(np.int32)
+
+
+def join_slots_i32(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return ((np.asarray(hi).astype(np.int64) << 31)
+            | np.asarray(lo).astype(np.int64))
+
+
 def gather_merge(slots: np.ndarray, triples: np.ndarray,
                  total_slots: int, region_blob: bytes = b""
                  ) -> tuple[np.ndarray, bytes]:
@@ -148,11 +161,9 @@ def gather_merge(slots: np.ndarray, triples: np.ndarray,
     sl_p[:len(slots)] = slots
     tr_p = np.zeros((mx, 3), np.int32)
     tr_p[:len(slots)] = triples
-    sl_lo = np.asarray(mhu.process_allgather(
-        (sl_p & 0x7FFFFFFF).astype(np.int32)))
-    sl_hi = np.asarray(mhu.process_allgather(
-        (sl_p >> 31).astype(np.int32)))
-    all_sl = (sl_hi.astype(np.int64) << 31) | sl_lo.astype(np.int64)
+    lo, hi = split_slots_i32(sl_p)
+    all_sl = join_slots_i32(np.asarray(mhu.process_allgather(lo)),
+                            np.asarray(mhu.process_allgather(hi)))
     all_tr = np.asarray(mhu.process_allgather(tr_p))
     all_rb = None
     if mb:

@@ -83,3 +83,22 @@ def test_local_filter_csr_slots_disjoint_and_complete():
         all_slots.append(slots)
     cat = np.sort(np.concatenate(all_slots))
     assert np.array_equal(cat, np.arange(n * (n - 1)))
+
+
+def test_slot_halves_roundtrip_beyond_int32():
+    """The multi-host transport ships int64 slot indices as two int32
+    halves (x64 is disabled under jax, so raw int64 would silently
+    truncate). Round-trip must be exact past 2^31 — dense slot ids cross
+    it from ~46k genomes."""
+    from lzani_tpu.parallel.distributed import (join_slots_i32,
+                                                split_slots_i32)
+
+    s = np.array([0, 1, 2**31 - 1, 2**31, 2**31 + 7, 2**40 + 123,
+                  46342 * 46341 - 1], np.int64)
+    lo, hi = split_slots_i32(s)
+    assert lo.dtype == np.int32 and hi.dtype == np.int32
+    assert np.array_equal(join_slots_i32(lo, hi), s)
+    rng = np.random.RandomState(0)
+    s = rng.randint(0, 2**62, 1000).astype(np.int64)
+    lo, hi = split_slots_i32(s)
+    assert np.array_equal(join_slots_i32(lo, hi), s)
