@@ -67,8 +67,15 @@ def parse_args(argv: list[str]) -> Params | None:
         a = argv[i]
         try:
             if a == "--in-txt" and i + 1 < len(argv):
-                with open(argv[i + 1]) as fh:
-                    p.input_file_names = fh.read().split()
+                # missing file: the reference's load_input_names prints a
+                # clean message and bails (lz-ani.cpp:88-102,134-138)
+                try:
+                    with open(argv[i + 1]) as fh:
+                        p.input_file_names = fh.read().split()
+                except OSError:
+                    print(f"Cannot open file: {argv[i + 1]}",
+                          file=sys.stderr)
+                    raise SystemExit(1)
                 i += 2
             elif a == "--in-dir" and i + 1 < len(argv):
                 d = argv[i + 1]

@@ -95,6 +95,24 @@ class Matcher:
         return ok
 
     # ------------------------------------------------------------------
+    def _make_progress_cb(self):
+        """Sequences%+Pairs% progress line for the device backends —
+        same two counters the reference prints at -V 2
+        (lz_matcher.cpp:187-264): Sequences = reference rows completed,
+        Pairs = directed pairs completed."""
+        if self.params.verbosity_level < 2:
+            return None
+        state = {"last": ""}
+
+        def prog_cb(done, total, seqs_done=0, total_seqs=0):
+            s = (f"Sequences: {100 * seqs_done // max(total_seqs, 1)}%    "
+                 f"Pairs: {100 * done // max(total, 1)}%")
+            if s != state["last"]:
+                print(s + "       ", end="\r", file=sys.stderr, flush=True)
+                state["last"] = s
+
+        return prog_cb
+
     def _do_matching(self):
         p = self.params
         backend = p.backend
@@ -192,17 +210,7 @@ class Matcher:
             # ops.hybrid is jax-free at import time: a run too small to
             # warm the device pays ~zero cost over --backend native
             from .ops.hybrid import all2all_hybrid
-            prog_cb = None
-            if p.verbosity_level >= 2:
-                state = {"last": ""}
-
-                def prog_cb(done, total):
-                    s = f"Pairs: {100 * done // max(total, 1)}%"
-                    if s != state["last"]:
-                        print(s + "       ", end="\r", file=sys.stderr,
-                              flush=True)
-                        state["last"] = s
-
+            prog_cb = self._make_progress_cb()
             triples = all2all_hybrid(self.store.codes, p,
                                      filter_csr=eng_csr,
                                      region_path=eng_region,
@@ -210,17 +218,7 @@ class Matcher:
         elif backend == "pallas":
             _enable_compile_cache()
             from .ops.pallas_engine import all2all_pallas
-            prog_cb = None
-            if p.verbosity_level >= 2:
-                state = {"last": ""}
-
-                def prog_cb(done, total):
-                    s = f"Pairs: {100 * done // max(total, 1)}%"
-                    if s != state["last"]:
-                        print(s + "       ", end="\r", file=sys.stderr,
-                              flush=True)
-                        state["last"] = s
-
+            prog_cb = self._make_progress_cb()
             # LZANI_TPU_KPAIR>1 selects the experimental v4 lockstep
             # kernel (ops/pallas_v4.py; measured slower on vir61 — see
             # ops/DESIGN.md round-2 notes)
@@ -255,7 +253,8 @@ class Matcher:
                             "budget. Use --backend pallas.")
                 from .ops.engine_jax import all2all_jax
                 triples = all2all_jax(self.store.codes, p,
-                                      filter_csr=eng_csr)
+                                      filter_csr=eng_csr,
+                                      progress=self._make_progress_cb())
         else:
             raise ValueError(f"Unknown backend: {backend}")
 

@@ -125,15 +125,22 @@ def parse_pair_jax(ref_codes: np.ndarray, q_codes: np.ndarray, params,
 
 
 def all2all_jax(codes: list[np.ndarray], params, filter_csr=None,
-                batch_size: int = 512) -> np.ndarray:
+                batch_size: int = 512, progress=None) -> np.ndarray:
     """All-vs-all on the device engine. Output layout matches
-    native_engine.all2all (dense (n, n-1, 3) or CSR-aligned (nnz, 3))."""
+    native_engine.all2all (dense (n, n-1, 3) or CSR-aligned (nnz, 3)).
+
+    progress: optional callable(pairs_done, total_pairs, seqs_done,
+    total_seqs), invoked after each reference row — the two counters the
+    reference prints at -V 2 (lz_matcher.cpp:187-264)."""
     n = len(codes)
     if filter_csr is None:
         out = np.zeros((n, max(n - 1, 0), 3), dtype=np.int32)
+        total_pairs = n * (n - 1)
     else:
         indptr, ids = filter_csr
         out = np.zeros((len(ids), 3), dtype=np.int32)
+        total_pairs = len(ids)
+    pairs_done = 0
 
     for r in range(n):
         if filter_csr is None:
@@ -141,6 +148,8 @@ def all2all_jax(codes: list[np.ndarray], params, filter_csr=None,
         else:
             q_ids = [int(q) for q in ids[indptr[r]:indptr[r + 1]]]
         if not q_ids:
+            if progress is not None:
+                progress(pairs_done, total_pairs, r + 1, n)
             continue
         idx = RefIndexJax(codes[r], params)
         # group queries into buckets of equal padded length to bound padding
@@ -156,4 +165,7 @@ def all2all_jax(codes: list[np.ndarray], params, filter_csr=None,
                     out[r, slot] = stats[row]
                 else:
                     out[int(indptr[r]) + k] = stats[row]
+        pairs_done += len(q_ids)
+        if progress is not None:
+            progress(pairs_done, total_pairs, r + 1, n)
     return out

@@ -235,6 +235,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     tpu_pairs = 0       # drained (event logs downloaded)
     tpu_claimed = 0     # pairs on claimed device rows
     tpu_done = [0]      # fully finalized (replayed + stored)
+    tpu_rows = [0]      # reference rows fully drained on the device side
     tpu_lock = threading.Lock()
 
     def fin_track(r, q, ev, slot):
@@ -242,9 +243,18 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         with tpu_lock:
             tpu_done[0] += 1
 
+    def native_row_track(*a):
+        # oversized/recovered rows run host-side but were claimed by the
+        # device scheduler — count them for Sequences% when done
+        _native_row(*a)
+        with tpu_lock:
+            tpu_rows[0] += 1
+        report()
+
     def report():
         if progress is not None:
-            progress(int(nat_prog[1]) + tpu_pairs, total_pairs)
+            progress(int(nat_prog[1]) + tpu_pairs, total_pairs,
+                     int(nat_prog[0]) + tpu_rows[0], n)
 
     nat_thread = threading.Thread(target=run_native, daemon=True)
     t_run0 = time.perf_counter()
@@ -327,7 +337,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     warm_min_s = float(os.environ.get("LZANI_TPU_WARM_MIN_S", "20"))
     warm_thread = threading.Thread(target=_warm, daemon=True)
 
-    def drain(r_list, subs, handles, t_disp):
+    def drain(r_list, subs, handles, t_disp, urem=None, nrows=0):
         nonlocal tpu_pairs
         evs = eng.collect_group(handles)
         lo = subs[1]
@@ -341,6 +351,10 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 n_sub += 1
         with tpu_lock:
             tpu_pairs += n_sub
+            if urem is not None:
+                urem[0] -= 1
+                if urem[0] == 0:   # group's last unit: its rows are done
+                    tpu_rows[0] += nrows
             now = time.perf_counter()
             if t_last_drain[0] is not None:
                 dt = now - t_last_drain[0]
@@ -503,7 +517,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 for r in big:
                     # oversized reference: run its whole row through a
                     # single-threaded native call (one index build)
-                    pending.append(pool.submit(_native_row, codes, params,
+                    pending.append(pool.submit(native_row_track, codes, params,
                                                r, wanted_of(r), out,
                                                filter_csr is None,
                                                region_path, rf, rf_lock))
@@ -516,11 +530,16 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 gf = pool.submit(eng.build_group_index, r_list, dev)
                 wanteds = [wanted_of(r) if r >= 0 else {} for r in r_list]
                 tpu_claimed += sum(len(w) for w in wanteds)
+                g_units = []
                 for lo in range(0, eng.n_pad, eng.B):
                     subs = [{q: w for q, w in wanted.items()
                              if lo <= q < lo + eng.B} for wanted in wanteds]
                     if any(subs):
-                        unit_q.append((r_list, lo, subs, gf, dev))
+                        g_units.append((lo, subs))
+                urem = [len(g_units)]   # Sequences%: rows count at the
+                nrows = len(dev_rows)   # group's last drain
+                for lo, subs in g_units:
+                    unit_q.append((r_list, lo, subs, gf, dev, urem, nrows))
             if not unit_q and not inflight:
                 if done_claiming:
                     break
@@ -533,11 +552,12 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 continue
             if unit_q:
                 current = unit_q.popleft()
-                r_list, lo, subs, gf, dev = current
+                r_list, lo, subs, gf, dev, urem, nrows = current
                 idx = gf.result()
                 t_disp = time.perf_counter()
                 handles = eng.dispatch_group(idx, lo, dev)
-                inflight.append((r_list, (subs, lo), handles, t_disp))
+                inflight.append((r_list, (subs, lo), handles, t_disp,
+                                 urem, nrows))
                 current = None
                 k_disp += 1
             if len(inflight) >= depth or not unit_q:
@@ -575,7 +595,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
               f"{e}); {len(failed_rows)} claimed rows recovered on the "
               f"host, run continues on the native pool")
     for r in sorted(failed_rows):
-        pending.append(pool.submit(_native_row, codes, params, r,
+        pending.append(pool.submit(native_row_track, codes, params, r,
                                    wanted_of(r), out, filter_csr is None,
                                    region_path, rf, rf_lock))
     warm_state["cancel"] = True  # a still-pending warm-up stops at its

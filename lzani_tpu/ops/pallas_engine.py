@@ -1288,16 +1288,25 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             wanteds.append({})
         groups.append((r_list, wanteds))
 
-    units = []  # (r_list, lo, subs) with subs[g] = {q: slot}
-    for r_list, wanteds in groups:
+    units = []  # (r_list, lo, subs, gi) with subs[g] = {q: slot}
+    group_rem = [0] * len(groups)   # un-drained units per group
+    group_nreal = [sum(1 for r in g[0] if r >= 0) for g in groups]
+    for gi, (r_list, wanteds) in enumerate(groups):
         for lo in range(0, eng.n_pad, eng.B):
             subs = [{q: w for q, w in wanted.items()
                      if lo <= q < lo + eng.B} for wanted in wanteds]
             if any(subs):
-                units.append((r_list, lo, subs))
+                units.append((r_list, lo, subs, gi))
+                group_rem[gi] += 1
 
     total_pairs = (sum(len(s) for u in units for s in u[2])
                    + sum(len(w) for _, w in native_rows))
+    # the Sequences% counter (reference parity: a reference row counts
+    # when its last pair completes, lz_matcher.cpp:257-264); rows with
+    # zero wanted queries are complete before the run starts
+    seqs_done = sum(group_nreal[gi] for gi in range(len(groups))
+                    if group_rem[gi] == 0)
+    total_seqs = n
     n_fallback = 0
 
     dl_pool = ThreadPoolExecutor(max_workers=2)  # event-log downloads
@@ -1312,8 +1321,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             # runs on dl_pool: the collect() downloads (2 tunnel round
             # trips + the event bytes) overlap the next units' device
             # compute instead of serializing the dispatch loop
-            nonlocal done_pairs, n_fallback
-            r_list, lo, subs = u
+            nonlocal done_pairs, n_fallback, seqs_done
+            r_list, lo, subs, gi = u
             evs = (eng.collect_group(handles) if use_group
                    else [eng.collect(handles)])
             n_sub = 0
@@ -1334,8 +1343,12 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             with done_lock:
                 done_pairs += n_sub
                 dp = done_pairs
+                group_rem[gi] -= 1
+                if group_rem[gi] == 0:
+                    seqs_done += group_nreal[gi]
+                sd = seqs_done
             if progress is not None:
-                progress(dp, total_pairs)
+                progress(dp, total_pairs, sd, total_seqs)
 
         # depth-2 pipeline per device: every chip keeps one unit in flight
         # while the previous one drains (P1 fan-out, lz_matcher.cpp:184-270).
@@ -1394,8 +1407,9 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                         if filter_csr is None else w)
                 pending.append(pool.submit(finalize, r, q, None, slot))
             done_pairs += len(wanted)
+            seqs_done += 1
             if progress is not None:
-                progress(done_pairs, total_pairs)
+                progress(done_pairs, total_pairs, seqs_done, total_seqs)
         for f in pending:
             f.result()
     dl_pool.shutdown(wait=True)
