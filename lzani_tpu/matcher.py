@@ -270,8 +270,12 @@ class Matcher:
             flat, blob_all = gather_merge(mh_slots, triples, mh_total,
                                           blob)
             n = len(self.store)
-            triples = flat if csr is not None else flat.reshape(
-                n, max(n - 1, 0), 3)
+            # the merge gathers to the output rank only: non-rank-0
+            # processes get None (they never materialize the table, so
+            # their peak RSS stays flat — the bounded-memory contract)
+            triples = (None if flat is None
+                       else flat if csr is not None
+                       else flat.reshape(n, max(n - 1, 0), 3))
             if region_path and mh_pid == 0:
                 with open(region_path, "wb") as fh:
                     fh.write(blob_all)

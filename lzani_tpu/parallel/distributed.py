@@ -129,17 +129,27 @@ def join_slots_i32(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 
 def gather_merge(slots: np.ndarray, triples: np.ndarray,
-                 total_slots: int, region_blob: bytes = b""
-                 ) -> tuple[np.ndarray, bytes]:
-    """All-gather every host's (slots, triples[, region bytes]) over the
-    jax.distributed transport (DCN on pods, Gloo on CPU) and scatter-merge
-    into the full flat (total_slots, 3) result on EVERY host (slots are
-    disjoint by construction, so the merge is order-independent and all
-    hosts end identical). Region records are self-delimiting and
-    order-independent (lz_matcher.cpp:115-138 applies per record), so the
-    blobs simply concatenate in host order.
+                 total_slots: int, region_blob: bytes = b"",
+                 chunk: int | None = None
+                 ) -> tuple[np.ndarray | None, bytes]:
+    """Gather every host's (slots, triples[, region bytes]) over the
+    jax.distributed transport (DCN on pods, Gloo on CPU) to the OUTPUT
+    rank (process 0), which scatter-merges them into the full flat
+    (total_slots, 3) result (slots are disjoint by construction, so the
+    merge is order-independent). Non-output ranks return (None, b"") —
+    they never materialize the table, so their peak RSS stays flat in
+    total_slots (the streaming-store contract; a full-table allgather was
+    the multi-host memory high-water mark before).
+
+    The transport only has symmetric allgather, so the gather runs in
+    bounded CHUNK-slot rounds: every rank's transient is
+    O(n_hosts * chunk), independent of total_slots. Region records are
+    self-delimiting and order-independent (lz_matcher.cpp:115-138 applies
+    per record), so the blobs concatenate in host order.
 
     Single-process callers skip the collectives entirely."""
+    import os
+
     import jax
 
     slots = np.asarray(slots, np.int64)
@@ -149,35 +159,57 @@ def gather_merge(slots: np.ndarray, triples: np.ndarray,
         return out, region_blob
     from jax.experimental import multihost_utils as mhu
 
-    # collectives need uniform shapes: exchange lengths, pad to the max.
-    # NB every array goes through jnp with x64 disabled, so int64 would
-    # silently truncate — slots ship as two int32 halves (dense slots
-    # exceed 2^31 from ~46k genomes).
+    if chunk is None:
+        chunk = int(os.environ.get("LZANI_TPU_MERGE_CHUNK", 1 << 22))
+    chunk = max(int(chunk), 1)
+    rank = jax.process_index()
+    nh = jax.process_count()
+
+    # collectives need uniform shapes: exchange lengths, pad each round
+    # to the chunk. NB every array goes through jnp with x64 disabled, so
+    # int64 would silently truncate — slots ship as two int32 halves
+    # (dense slots exceed 2^31 from ~46k genomes).
     lens = np.asarray(mhu.process_allgather(
         np.array([len(slots), len(region_blob)], np.int32)))
-    mx = max(int(lens[:, 0].max()), 1)
+    mx = int(lens[:, 0].max())
     mb = int(lens[:, 1].max())
-    sl_p = np.zeros(mx, np.int64)
-    sl_p[:len(slots)] = slots
-    tr_p = np.zeros((mx, 3), np.int32)
-    tr_p[:len(slots)] = triples
-    lo, hi = split_slots_i32(sl_p)
-    all_sl = join_slots_i32(np.asarray(mhu.process_allgather(lo)),
-                            np.asarray(mhu.process_allgather(hi)))
-    all_tr = np.asarray(mhu.process_allgather(tr_p))
-    all_rb = None
-    if mb:
-        rb_p = np.zeros(mb, np.uint8)
-        rb_p[:len(region_blob)] = np.frombuffer(region_blob, np.uint8)
+    out = (np.zeros((total_slots, 3), np.int32) if rank == 0 else None)
+    for k0 in range(0, max(mx, 1), chunk):
+        c = min(chunk, max(mx, 1) - k0)
+        sl_p = np.zeros(c, np.int64)
+        tr_p = np.zeros((c, 3), np.int32)
+        take = max(0, min(len(slots) - k0, c))
+        if take:
+            sl_p[:take] = slots[k0:k0 + take]
+            tr_p[:take] = triples[k0:k0 + take]
+        lo, hi = split_slots_i32(sl_p)
+        all_lo = np.asarray(mhu.process_allgather(lo))
+        all_hi = np.asarray(mhu.process_allgather(hi))
+        all_tr = np.asarray(mhu.process_allgather(tr_p))
+        if rank == 0:
+            for h in range(nh):
+                hn = max(0, min(int(lens[h, 0]) - k0, c))
+                if hn:
+                    sl_h = join_slots_i32(all_lo[h, :hn], all_hi[h, :hn])
+                    out[sl_h] = all_tr[h, :hn]
+        del all_lo, all_hi, all_tr
+
+    blob_parts: list[list[bytes]] = [[] for _ in range(nh)]
+    for k0 in range(0, mb, chunk):
+        c = min(chunk, mb - k0)
+        rb_p = np.zeros(c, np.uint8)
+        take = max(0, min(len(region_blob) - k0, c))
+        if take:
+            rb_p[:take] = np.frombuffer(
+                region_blob[k0:k0 + take], np.uint8)
         all_rb = np.asarray(mhu.process_allgather(rb_p))
-    out = merge_host_triples(
-        total_slots,
-        [(all_sl[h, :int(lens[h, 0])], all_tr[h, :int(lens[h, 0])])
-         for h in range(lens.shape[0])])
-    blob = b""
-    if mb:
-        blob = b"".join(all_rb[h, :int(lens[h, 1])].tobytes()
-                        for h in range(lens.shape[0]))
+        if rank == 0:
+            for h in range(nh):
+                hn = max(0, min(int(lens[h, 1]) - k0, c))
+                if hn:
+                    blob_parts[h].append(all_rb[h, :hn].tobytes())
+        del all_rb
+    blob = b"".join(b"".join(p) for p in blob_parts)
     return out, blob
 
 
