@@ -887,8 +887,8 @@ def _code_salt() -> str:
 
     h = hashlib.sha1()
     base = _os.path.dirname(_os.path.abspath(__file__))
-    for name in ("pallas_engine.py", "pallas_v4.py", "anchor_tables.py",
-                 "parse.py", "prep.py"):
+    for name in ("pallas_engine.py", "pallas_v4.py", "pallas_v5.py",
+                 "pallas_v6.py", "anchor_tables.py", "parse.py", "prep.py"):
         try:
             with open(_os.path.join(base, name), "rb") as fh:
                 h.update(fh.read())
@@ -1201,7 +1201,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
                    interpret: bool = False, kpair: int | None = None,
-                   ilv: int | None = None):
+                   ilv: int | None = None, spec: bool | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -1243,7 +1243,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         # own chips (jax.devices() would span non-addressable ones)
         devices = jax.local_devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
-                        interpret=interpret, kpair=kpair, ilv=ilv)
+                        interpret=interpret, kpair=kpair, ilv=ilv,
+                        spec=spec)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
@@ -1507,13 +1508,19 @@ class PallasGroupIndex:
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
-                    ilv: int = 1):
+                    ilv: int = 1, spec: bool = False):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
-    kernel program on a (G, B//ilv) grid (ops/pallas_v5.py)."""
+    kernel program on a (G, B//ilv) grid (ops/pallas_v5.py). spec swaps
+    in the v6 speculative-next-window kernel (ops/pallas_v6.py, same
+    block contract) at the same interleave width."""
     EvL = PallasRefIndex.MAXEV * 8
-    if ilv > 1:
+    if spec:
+        from .pallas_v6 import make_parse_kernel_spec
+        assert B % ilv == 0, (B, ilv)
+        kern = make_parse_kernel_spec(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
+    elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_ilv(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
@@ -1585,7 +1592,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                 .at[:, :, 0].set(dsz[None, :])
                 .at[:, :, 1].set(nrs[:, None]))
         # --- kernel: (G, B) grid, query index innermost -------------------
-        if ilv > 1:
+        if ilv > 1 or spec:
             # ilv gets its OWN (fully-covered) dimension: Mosaic requires
             # sublane block dims divisible by 8 or equal to the array dim
             Bi = B // ilv
@@ -1871,7 +1878,8 @@ class PallasAll2All:
     KPAIR = 1
 
     def __init__(self, codes, params, devices=None, interpret=False,
-                 kpair: int | None = None, ilv: int | None = None):
+                 kpair: int | None = None, ilv: int | None = None,
+                 spec: bool | None = None):
         self.codes = codes
         self.params = params
         self.interpret = interpret
@@ -1894,6 +1902,13 @@ class PallasAll2All:
                 f"LZANI_TPU_ILV/ilv must be a power of two >= 1 "
                 f"(got {ilv})")
         self.ilv = ilv
+        # v6 speculative-next-window kernel toggle (ops/pallas_v6.py):
+        # -1/None = auto (resolved after LqP below), 0 = force v5/v3,
+        # 1 = force v6 at the resolved interleave width.
+        if spec is None:
+            import os as _os
+            spec = int(_os.environ.get("LZANI_TPU_SPEC", "-1"))
+        self.spec = int(spec)
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         # run-wide reference buckets over the device-eligible refs: every
@@ -1918,6 +1933,12 @@ class PallasAll2All:
             # not reproduce). Auto stays inside the TPU-validated VMEM
             # envelope; larger buckets keep the v3 single-query program.
             self.ilv = 2 if self.LqP <= (1 << 18) else 1
+        if self.spec < 0:
+            # auto: off until the v6 kernel beats the v5 incumbent on
+            # BOTH vir61 and ab_dissimilar, min-of-N timed (CLAUDE.md
+            # kernel-default rule)
+            self.spec = 0
+        self.spec = bool(self.spec)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
             self.B = max(self.B, self.kpair)    # grid needs B % K == 0
@@ -2035,12 +2056,12 @@ class PallasAll2All:
         B = self.B
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
-                     self.LqPrep, self.ilv)
+                     self.LqPrep, self.ilv, self.spec)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
-                                   self.LqPrep, self.ilv)
+                                   self.LqPrep, self.ilv, self.spec)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

@@ -106,10 +106,13 @@ def main():
                  for _ in range(4)]
         codes.append(base[: L // 2].copy())
         want = ne.all2all(codes, pt)
-        for kp, ilv, tag in ((1, 1, "v3"), (1, 2, "v5k2"), (1, 4, "v5k4"),
-                             (2, None, "v4k2"), (4, None, "v4k4")):
+        for kp, ilv, spec, tag in (
+                (1, 1, False, "v3"), (1, 2, False, "v5k2"),
+                (1, 4, False, "v5k4"), (2, None, False, "v4k2"),
+                (4, None, False, "v4k4"), (1, 1, True, "v6k1"),
+                (1, 2, True, "v6k2")):
             got = all2all_pallas(codes, pt, interpret=True, kpair=kp,
-                                 ilv=ilv)
+                                 ilv=ilv, spec=spec)
             if np.array_equal(got, want):
                 print(f"driver trial {t} {tag}: OK", flush=True)
             else:
