@@ -235,7 +235,16 @@ PROF_COUNTERS: bool = False
 
 
 def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
-                      WinP: int, EvL: int):
+                      WinP: int, EvL: int, big: bool = False):
+    """big=True builds the long-genome variant: refbuf/qbuf/poslist/
+    cand/next_hit/ev_out live in HBM (pl.ANY) instead of VMEM blocks —
+    megabase references (reference parser.cpp:16-34 is unbounded) exceed
+    the ~16 MB VMEM budget ~64x at 10 Mb. Every dynamic load becomes an
+    HBM->VMEM DMA round trip (625 ns measured vs ~280 ns VMEM —
+    scripts/calibrate_round3.py Q4); q/r load pairs overlap their DMAs.
+    The q-side buffers are indexed by pl.program_id(0) (ANY refs are not
+    grid-blocked); event flushes DMA the pending block out. Same
+    automaton, same event log, byte-exact vs the small kernel."""
     MAXEV = EvL // 128 * 16  # event capacity of the output buffer
     mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
     reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
@@ -258,15 +267,15 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
     # ---------------- in-kernel helpers bound to refs ---------------------
 
-    def exact_lce(qref, rref, qs, rs, cap):
-        """Exact LCE between qref[0, qs:] and rref[0, rs:], bounded by cap
-        (which must itself bound both buffers; padding symbols differ, so
-        runs always terminate before the pads run out)."""
+    def exact_lce(pld, qs, rs, cap):
+        """Exact LCE between q[qs:] and r[rs:], bounded by cap (which must
+        itself bound both buffers; padding symbols differ, so runs always
+        terminate before the pads run out). pld(qp, rp, n) loads the
+        (1, n) q/r rows (VMEM slice or paired HBM DMA)."""
 
         def body(st):
             off, _ = st
-            qb = align_load(qref, qs + off, CH)
-            rb = align_load(rref, rs + off, CH)
+            qb, rb = pld(qs + off, rs + off, CH)
             neq = (qb != rb).astype(I32)
             # first mismatch position in this chunk (CH if none)
             fm = jnp.min(jnp.where(neq > 0, lane_iota(CH), CH))
@@ -281,7 +290,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         off, fm = jax.lax.while_loop(cond, lambda st: body(st), (off, fm))
         return jnp.minimum(off - CH + fm, cap)
 
-    def ext_scan(qref, rref, cmat, cmat2, dpos, rpos, cap, max_len,
+    def ext_scan(pld, cmat, cmat2, dpos, rpos, cap, max_len,
                  forward):
         """The approximate sliding-window extension (parser.cpp:377-441),
         exact semantics, vectorized per chunk. The two sliding-window
@@ -305,8 +314,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         """
         total = jnp.minimum(cap, max_len)
         CE = CEF if forward else 128
-        LqS = qref.shape[1]
-        LrS = rref.shape[1]
+        LqS = LqP
+        LrS = LrP
         io = lane_iota(CE)
 
         def load_miss(base):
@@ -315,8 +324,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             if forward:
                 qo = jnp.clip(dpos + base, 0, LqS - CE - 128)
                 ro = jnp.clip(rpos + base, 0, LrS - CE - 128)
-                qb = align_load(qref, qo, CE)
-                rb = align_load(rref, ro, CE)
+                qb, rb = pld(qo, ro, CE)
                 return (qb != rb).astype(I32)   # lane j -> e = base + j
             # e = base + j needs q[dpos-1-base-j]; load the ascending
             # blocks ending at dpos-base / rpos-base, reverse lanes,
@@ -326,8 +334,8 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             sq = dpos - base - CE
             sr = rpos - base - CE
             sh = jnp.clip(jnp.maximum(-sq, -sr), 0, CE)
-            qb = align_load(qref, jnp.clip(sq + sh, 0, LqS - CE - 128), CE)
-            rb = align_load(rref, jnp.clip(sr + sh, 0, LrS - CE - 128), CE)
+            qb, rb = pld(jnp.clip(sq + sh, 0, LqS - CE - 128),
+                         jnp.clip(sr + sh, 0, LrS - CE - 128), CE)
             m0 = (qb != rb).astype(I32)     # lane j -> e = base+CE-1-sh-j
             mr = reverse_lanes(m0, cmat[:, 128:256])
             # lanes j >= CE - sh wrapped around; they are beyond the
@@ -422,40 +430,155 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # ---------------- the kernel itself ------------------------------------
 
     def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
-               cmat2, ev_out, nev_out):
+               cmat2, ev_out, nev_out, *scratch):
         dsz = scal_ref[0, 0]
         nr = scal_ref[0, 1]
         # runtime zero for the PROF_DOUBLE hooks (scal lanes >= 2 ship 0)
         z = scal_ref[0, 7]
 
-        def resolve_anchor(jpos):
-            """(a_len, a_pos) per ht_long semantics; (0,0) if no candidate.
-            Exact lengths; smallest position wins ties (strict >). The
-            anchor table packs (start << 7 | count) in one int32 so the
-            probe is a single dynamic load."""
-            pk = vext(cand, jpos)
-            lo = pk >> 7
-            cnt = pk & 127
+        # ---- load primitives: VMEM slices (small) or HBM DMA (big) -------
+        if big:
+            s0, s1, s2, evs, sem0, sem1, sem2, sem3 = scratch
+            qb_row = pl.program_id(0)  # ANY refs are not grid-blocked
+
+            def _start(ref, row, p, m, scr, sem):
+                # q-side buffers are (R, 1, L): the dynamic row is a pure
+                # batch index (Mosaic rejects 1-row dynamic slices of 2D
+                # HBM arrays — sublane tiling); shared (1, L) buffers
+                # slice their only row statically
+                base = (p // 128) * 128
+                col = pl.ds(pl.multiple_of(base, 128), m)
+                src = (ref.at[row, 0:1, col] if len(ref.shape) == 3
+                       else ref.at[0:1, col])
+                cp = pltpu.make_async_copy(src, scr.at[0:1, 0:m], sem)
+                cp.start()
+                return cp, p - base
+
+            def _ald(ref, row, p, n, scr, sem):
+                m = n + 128
+                cp, rem = _start(ref, row, p, m, scr, sem)
+                cp.wait()
+                return pltpu.roll(scr[0:1, 0:m], m - rem, 1)[0:1, :n]
+
+            def pld(qp, rp, n):
+                # paired q/r fetch: both DMAs in flight before either
+                # wait (independent round trips overlap ~fully, Q3)
+                m = n + 128
+                cq, remq = _start(qbuf, qb_row, qp, m, s0, sem0)
+                cr, remr = _start(refbuf, 0, rp, m, s1, sem1)
+                cq.wait()
+                cr.wait()
+                return (pltpu.roll(s0[0:1, 0:m], m - remq, 1)[0:1, :n],
+                        pltpu.roll(s1[0:1, 0:m], m - remr, 1)[0:1, :n])
+
+            def pld2(qp, rp):
+                # the window's asymmetric q(128)/r(WCOLS) pair
+                mq, mr = 256, WCOLS + 128
+                cq, remq = _start(qbuf, qb_row, qp, mq, s0, sem0)
+                cr, remr = _start(refbuf, 0, rp, mr, s1, sem1)
+                cq.wait()
+                cr.wait()
+                return (pltpu.roll(s0[0:1, 0:mq], mq - remq, 1)[0:1, :128],
+                        pltpu.roll(s1[0:1, 0:mr], mr - remr,
+                                   1)[0:1, :WCOLS])
+
+            def ld_pos(p, n):
+                return _ald(poslist, 0, p, n, s2, sem2)
+
+            def ld_cand(p, n):
+                # anchor-presence probe: the count plane (row 2b+1) of
+                # the two-plane big candidate table
+                return _ald(cand, 2 * qb_row + 1, p, n, s2, sem2)
+
+            def vx_nh(p):
+                return _ald(next_hit, qb_row, p, 128, s2, sem2)[0, 0]
+
+            def ev_store(blk, pend):
+                # pend (VREG) -> VMEM staging -> HBM DMA at the block slot
+                evs[0:1, :] = pend
+                cp = pltpu.make_async_copy(
+                    evs, ev_out.at[qb_row, 0:1,
+                                   pl.ds(pl.multiple_of(blk * 128, 128),
+                                         128)], sem3)
+                cp.start()
+                cp.wait()
+        else:
+            def pld(qp, rp, n):
+                return align_load(qbuf, qp, n), align_load(refbuf, rp, n)
+
+            def pld2(qp, rp):
+                return (align_load(qbuf, qp, 128),
+                        align_load(refbuf, rp, WCOLS))
+
+            def ld_pos(p, n):
+                return align_load(poslist, p, n)
+
+            def ld_cand(p, n):
+                return align_load(cand, p, n)
+
+            def vx_cand(p):
+                return vext(cand, p)
+
+            def vx_nh(p):
+                return vext(next_hit, p)
+
+            def ev_store(blk, pend):
+                ev_out[0:1,
+                       pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+
+        def _anchor_scan(jpos, lo, cnt):
+            """Best (len, pos) over candidates poslist[lo : lo+cnt] —
+            ht_long semantics: exact lengths, first-in-list (= smallest
+            position; the list is sorted by (kmer, pos)) wins ties
+            (strict >). The reference's hash probe admits collisions and
+            filters them with the exact-LCE >= mal test
+            (parser.cpp:518-531); filter survivors are exactly the true
+            same-kmer candidates in insertion (= ascending-position)
+            order, which this sorted list reproduces."""
 
             def run(_):
-                pvec = align_load(poslist, lo, 128)
+                def blk(bk, acc):
+                    pvec = ld_pos(lo + bk * 128, 128)
+                    nin = jnp.minimum(cnt - bk * 128, 128)
 
-                def body(c, st):
-                    blen, bpos = st
-                    pc = pltpu.roll(pvec, 128 - c, 1)[0, 0]
-                    ml = exact_lce(qbuf, refbuf, jpos, pc,
-                                   jnp.minimum(nr - pc, dsz - jpos))
-                    take = ml > blen
-                    return (jnp.where(take, ml, blen),
-                            jnp.where(take, pc, bpos))
+                    def body(c, st):
+                        blen, bpos = st
+                        pc = pltpu.roll(pvec, 128 - c, 1)[0, 0]
+                        ml = exact_lce(pld, jpos, pc,
+                                       jnp.minimum(nr - pc, dsz - jpos))
+                        take = ml > blen
+                        return (jnp.where(take, ml, blen),
+                                jnp.where(take, pc, bpos))
 
-                blen, bpos = jax.lax.fori_loop(
-                    0, cnt, body, (jnp.int32(0), jnp.int32(0)))
-                return blen, bpos
+                    return jax.lax.fori_loop(0, nin, body, acc)
+
+                if big:
+                    return jax.lax.fori_loop(
+                        0, (cnt + 127) // 128, blk,
+                        (jnp.int32(0), jnp.int32(0)))
+                # small path: counts are capped at CNT_CAP <= 112 by the
+                # prep overflow gate, so one 128-lane block suffices
+                return blk(jnp.int32(0), (jnp.int32(0), jnp.int32(0)))
 
             return jax.lax.cond(cnt > 0, run,
                                 lambda _: (jnp.int32(0), jnp.int32(0)),
                                 None)
+
+        if big:
+            def resolve_anchor(jpos):
+                # two-plane candidate table (rows 2b / 2b+1 of `cand`):
+                # start index + unbounded count (no 7-bit pack, no
+                # CNT_CAP fallback — reference parity for repeat-heavy
+                # megabase genomes)
+                lo = _ald(cand, 2 * qb_row, jpos, 128, s2, sem2)[0, 0]
+                cnt = _ald(cand, 2 * qb_row + 1, jpos, 128, s2,
+                           sem2)[0, 0]
+                return _anchor_scan(jpos, lo, cnt)
+        else:
+            def resolve_anchor(jpos):
+                # packed (start << 7 | count): one dynamic load per probe
+                pk = vx_cand(jpos)
+                return _anchor_scan(jpos, pk >> 7, pk & 127)
 
         def resolve_anchor_p(jpos):
             al, ap = resolve_anchor(jpos)
@@ -480,8 +603,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             ne = ne + 1
 
             def flush(pend):
-                blk = (ne // 16) - 1
-                ev_out[0:1, pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+                ev_store((ne // 16) - 1, pend)
                 return jnp.zeros((1, 128), I32)
 
             pend = jax.lax.cond(ne % 16 == 0, flush, lambda p: p, pend)
@@ -518,12 +640,12 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             tl = jnp.where(do_kill, run_len, tl)
 
             def _bwd(_):
-                b = ext_scan(qbuf, refbuf, cmat, cmat2, i_ev, bpos,
+                b = ext_scan(pld, cmat, cmat2, i_ev, bpos,
                              jnp.minimum(i_ev, bpos), tl,
                              forward=False)
                 if "ext" in PROF_DOUBLE:
                     b = jnp.minimum(
-                        b, ext_scan(qbuf, refbuf, cmat, cmat2,
+                        b, ext_scan(pld, cmat, cmat2,
                                     i_ev + z, bpos + z,
                                     jnp.minimum(i_ev, bpos),
                                     tl, forward=False))
@@ -541,12 +663,12 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             i2 = i_ev + blen
             pred2 = bpos + blen
-            ext = ext_scan(qbuf, refbuf, cmat, cmat2, i2, pred2,
+            ext = ext_scan(pld, cmat, cmat2, i2, pred2,
                            jnp.minimum(dsz - i2, nr - pred2), BIG,
                            forward=True)
             if "ext" in PROF_DOUBLE:
                 ext = jnp.minimum(
-                    ext, ext_scan(qbuf, refbuf, cmat, cmat2, i2 + z,
+                    ext, ext_scan(pld, cmat, cmat2, i2 + z,
                                   pred2 + z,
                                   jnp.minimum(dsz - i2, nr - pred2), BIG,
                                   forward=True))
@@ -562,7 +684,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
              ne, pend, *prof) = state
             if prof:
                 prof = (prof[0], prof[1] + 1)
-            j = vext(next_hit, i)
+            j = vx_nh(i)
 
             def to_end(_):
                 # no more anchors: run out the loop as literals
@@ -602,13 +724,11 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             i0 = state0[0]
             b0 = jnp.maximum(state0[1] - state0[2], 0)
 
-            qrow = align_load(qbuf, i0, 128)
-            rrow = align_load(refbuf, b0, WCOLS)
+            qrow, rrow = pld2(i0, b0)
             qcol = to_col(qrow, cmat[:, 0:128])[:WROWS]  # (WROWS, 1)
             E = (qcol == rrow).astype(I32)               # (WROWS, WCOLS)
             if "ebuild" in PROF_DOUBLE:
-                qrow2 = align_load(qbuf, i0 + z, 128)
-                rrow2 = align_load(refbuf, b0 + z, WCOLS)
+                qrow2, rrow2 = pld2(i0 + z, b0 + z)
                 E = jnp.minimum(E, (to_col(qrow2, cmat[:, 0:128])[:WROWS]
                                     == rrow2).astype(I32))
 
@@ -635,7 +755,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             c511 = 511 - coli
             cmr = coli - rowi
 
-            cvec = align_load(cand, i0, 128)             # lanes d (packed)
+            cvec = ld_cand(i0, 128)                      # lanes d (packed)
             anch_col = to_col((cvec > 0).astype(I32),
                               cmat[:, 0:128])[:WROWS]    # (WROWS, 1)
             di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
@@ -744,7 +864,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                             c, blen, bpos, bdst = cst
                             p = b0 + c
                             ml = exact_lce(
-                                qbuf, refbuf, i_ev, p,
+                                pld, i_ev, p,
                                 jnp.minimum(nr - p, dsz - i_ev))
                             dst = jnp.abs(p - pred_dd)
                             better = ((ml > blen)
@@ -844,8 +964,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
         # flush the partial event block
         def flushp(_):
-            blk = ne // 16
-            ev_out[0:1, pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+            ev_store(ne // 16, pend)
 
         jax.lax.cond(ne % 16 != 0, flushp, lambda _: None, None)
         # overflow (event buffer full before the parse finished) -> -1;
@@ -857,7 +976,7 @@ def make_parse_kernel(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             io = lane_iota(128)
             prof = jnp.where(io == 0, final[9],
                              jnp.where(io == 1, final[10], 0))
-            ev_out[0:1, EvL - 128:EvL] = prof
+            ev_store(EvL // 128 - 1, prof)
 
     return kernel
 
@@ -1262,7 +1381,19 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
              if use_group else 1)
     mrd = params.max_dist_in_ref
 
+    # long-genome routing: refs above the VMEM budget (or every device
+    # row when the query bucket itself exceeds the VMEM envelope) run on
+    # the HBM-resident big kernel; only rows beyond ITS budget fall back
+    # to the native engine (reference parser.cpp:16-34 is unbounded)
+    use_big = os.environ.get("LZANI_TPU_BIG", "1") != "0"
+    # every device row routes big when the query bucket exceeds the VMEM
+    # envelope OR the anchor length makes the dense 4^mal table
+    # infeasible (the big path joins by sorted two-word keys instead)
+    all_big = use_big and (eng.LqP > eng.MAX_Q_VMEM
+                           or params.min_anchor_len > 13)
+
     rows_ok = []
+    big_rows = []
     native_rows = []
     for r in range(n):
         if filter_csr is None:
@@ -1270,12 +1401,17 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         else:
             wanted = {int(q): int(indptr[r]) + k
                       for k, q in enumerate(ids[indptr[r]:indptr[r + 1]])}
-        if 2 * len(codes[r]) + 3 * mrd > MAX_REF_SYMS:
-            _warn(f"lz-ani-tpu: reference {r} "
-                  f"({len(codes[r])} bp) exceeds the device VMEM budget "
-                  f"({MAX_REF_SYMS} composite symbols); row runs on the "
-                  f"native engine")
-            native_rows.append((r, wanted))
+        nr = 2 * len(codes[r]) + 3 * mrd
+        if nr > MAX_REF_SYMS or all_big or params.min_anchor_len > 13:
+            if use_big and nr <= eng.MAX_BIG_SYMS:
+                big_rows.append((r, wanted))
+            else:
+                _warn(f"lz-ani-tpu: reference {r} "
+                      f"({len(codes[r])} bp) exceeds the device budget "
+                      f"({eng.MAX_BIG_SYMS if use_big else MAX_REF_SYMS}"
+                      f" composite symbols); row runs on the native "
+                      f"engine")
+                native_rows.append((r, wanted))
             continue
         rows_ok.append((r, wanted))
 
@@ -1300,13 +1436,25 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 units.append((r_list, lo, subs, gi))
                 group_rem[gi] += 1
 
+    big_units = []  # (r, lo, sub) — per-ref big-kernel dispatches
+    big_rem = {}
+    for r, wanted in big_rows:
+        for lo in range(0, eng.n_pad, eng.B_big):
+            sub = {q: w for q, w in wanted.items()
+                   if lo <= q < lo + eng.B_big}
+            if sub:
+                big_units.append((r, lo, sub))
+                big_rem[r] = big_rem.get(r, 0) + 1
+
     total_pairs = (sum(len(s) for u in units for s in u[2])
+                   + sum(len(s) for _, _, s in big_units)
                    + sum(len(w) for _, w in native_rows))
     # the Sequences% counter (reference parity: a reference row counts
     # when its last pair completes, lz_matcher.cpp:257-264); rows with
     # zero wanted queries are complete before the run starts
-    seqs_done = sum(group_nreal[gi] for gi in range(len(groups))
-                    if group_rem[gi] == 0)
+    seqs_done = (sum(group_nreal[gi] for gi in range(len(groups))
+                     if group_rem[gi] == 0)
+                 + sum(1 for r, _ in big_rows if r not in big_rem))
     total_seqs = n
     n_fallback = 0
 
@@ -1400,6 +1548,56 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                                                  *inflight.pop(0)))
         while inflight:
             drain_futs.append(dl_pool.submit(drain, *inflight.pop(0)))
+
+        # ---- long-genome rows: per-ref big-kernel dispatches ------------
+        def drain_big(u, handles):
+            nonlocal done_pairs, n_fallback, seqs_done
+            r, lo, sub = u
+            evs = eng.collect_big(handles)
+            for q, w in sub.items():
+                slot = ((r, q - 1 if q > r else q)
+                        if filter_csr is None else w)
+                if evs[q - lo] is None:
+                    with done_lock:
+                        n_fallback += 1
+                    if verbosity >= 2:
+                        print(f"lz-ani-tpu: pair ({r},{q}) fell back to "
+                              f"the native engine (event capacity)",
+                              file=sys.stderr)
+                pending.append(pool.submit(finalize, r, q, evs[q - lo],
+                                           slot))
+            with done_lock:
+                done_pairs += len(sub)
+                dp = done_pairs
+                big_rem[r] -= 1
+                if big_rem[r] == 0:
+                    seqs_done += 1
+                sd = seqs_done
+            if progress is not None:
+                progress(dp, total_pairs, sd, total_seqs)
+
+        bidx_cache: dict = {}
+        big_inflight = []
+        for k, u in enumerate(big_units):
+            r, lo, sub = u
+            dev = eng.device_for(k)
+            bkey = (r, id(dev))
+            bidx = bidx_cache.get(bkey)
+            if bidx is None:
+                # one live index per device (megabase join builds are
+                # hundreds of MB device-side)
+                for ky in [ky for ky in bidx_cache if ky[1] == id(dev)]:
+                    del bidx_cache[ky]
+                bidx = eng.build_big_index(r, dev)
+                bidx_cache[bkey] = bidx
+            handles = eng.dispatch_big(bidx, lo, dev)
+            big_inflight.append((u, handles))
+            if len(big_inflight) >= 2 * len(eng.devices):
+                drain_futs.append(dl_pool.submit(drain_big,
+                                                 *big_inflight.pop(0)))
+        while big_inflight:
+            drain_futs.append(dl_pool.submit(drain_big,
+                                             *big_inflight.pop(0)))
         for f in drain_futs:
             f.result()
         for r, wanted in native_rows:
@@ -1447,6 +1645,168 @@ def dev_kmer_stream(buf, k, n_sym=4):
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     ok &= idx <= L - k
     return jnp.where(ok, val, -1)
+
+
+def dev_kmer_stream2(buf, k, n_sym=4):
+    """Two-word k-mer stream for k > 15 (the dense 4^k table and single
+    int32 keys both stop working): (hi, lo, ok) with hi = the first
+    ceil(k/2) symbols, lo = the rest (each <= 30 bits), ok = the window
+    is all-ACGT and in-bounds. (hi, lo) equality <=> substring equality,
+    so the sorted join below reproduces the reference ht_long semantics
+    (parser.cpp:146-188) exactly, with zero hash collisions."""
+    B, L = buf.shape
+    assert k <= 30, k
+    a = k - k // 2
+    hi = jnp.zeros((B, L), jnp.int32)
+    lo = jnp.zeros((B, L), jnp.int32)
+    ok = jnp.ones((B, L), jnp.bool_)
+    for j in range(k):
+        sh = jnp.roll(buf, -j, axis=1)
+        c = jnp.where(sh < n_sym, sh, 0)
+        if j < a:
+            hi = (hi << 2) | c
+        else:
+            lo = (lo << 2) | c
+        ok &= sh < n_sym
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ok &= idx <= L - k
+    return hi, lo, ok
+
+
+def _lower_bound2(khi, klo, qhi, qlo, right: bool):
+    """Branchless binary search over the (khi, klo)-sorted arrays (length
+    a power of two): number of entries lexicographically < (qhi, qlo)
+    (right=False) or <= (right=True). Vectorized over any query shape;
+    log2(n) gather rounds."""
+    n = khi.shape[0]
+    assert n & (n - 1) == 0, n
+    pos = jnp.zeros(qhi.shape, jnp.int32)
+    step = n
+    while step > 1:
+        step //= 2
+        c = pos + step
+        h = jnp.take(khi, c - 1)
+        l2 = jnp.take(klo, c - 1)
+        if right:
+            go = (h < qhi) | ((h == qhi) & (l2 <= qlo))
+        else:
+            go = (h < qhi) | ((h == qhi) & (l2 < qlo))
+        pos = jnp.where(go, c, pos)
+    return pos
+
+
+@lru_cache(maxsize=8)
+def _get_big_ref_build(LrP: int, KaP: int, mal: int):
+    """Per-reference join build for the long-genome path: unpack + two-
+    word kmer stream + (hi, lo, pos) sort. Returns the device-resident
+    unpacked reference, the sorted key arrays (the query-side binary
+    search probes them) and the sorted position list."""
+
+    @jax.jit
+    def build(refbuf_p):
+        refbuf = dev_unpack3(refbuf_p, LrP)              # (1, LrP)
+        hi, lo, ok = dev_kmer_stream2(refbuf, mal)
+        khi = jnp.where(ok[0], hi[0], BIG)               # invalid last
+        klo = jnp.where(ok[0], lo[0], 0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (LrP, 1), 0)[:, 0]
+        khi_s, klo_s, pos_s = jax.lax.sort((khi, klo, pos), num_keys=2)
+        if KaP <= LrP:
+            poslist = pos_s[:KaP].reshape(1, KaP)
+        else:
+            poslist = (jnp.zeros((1, KaP), jnp.int32)
+                       .at[0, :LrP].set(pos_s))
+        return refbuf, khi_s, klo_s, poslist
+
+    return build
+
+
+@lru_cache(maxsize=8)
+def _get_big_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
+                  EvL: int, B: int, interpret: bool):
+    """Long-genome dispatch: query prep (two-word kmer stream + sorted-
+    join binary search -> two-plane candidate table) + the big pallas
+    kernel (HBM-resident buffers, grid (B,)). No candidate-count cap and
+    no count overflow gate — counts are unbounded, as in the reference's
+    ht_long probe chains (parser.cpp:518-531)."""
+    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL, big=True)
+    mal, msl = cfg.mal, cfg.msl
+    perq = lambda b: (b, 0, 0)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    @jax.jit
+    def step(refbuf, khi_s, klo_s, poslist, Qpacked, lo_row, nr_s,
+             dszs_full, win, cmat):
+        dsz = jax.lax.dynamic_slice(dszs_full, (lo_row,), (B,))
+        scal = (jnp.zeros((B, 128), jnp.int32)
+                .at[:, 0].set(dsz)
+                .at[:, 1].set(nr_s))
+        qsel_p = jax.lax.dynamic_slice(
+            Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
+        qsel = dev_unpack3(qsel_p, LqP)
+        qhi, qlo, qok = dev_kmer_stream2(qsel, mal)
+        s_l = _lower_bound2(khi_s, klo_s, qhi, qlo, right=False)
+        s_r = _lower_bound2(khi_s, klo_s, qhi, qlo, right=True)
+        cnt = jnp.where(qok, s_r - s_l, 0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, LqP), 1)
+        limit = (dsz - msl)[:, None]
+        hit = (cnt > 0) & (idx < limit)
+        nh_src = jnp.where(hit, idx, dsz[:, None])
+        nh = jnp.flip(jax.lax.cummin(jnp.flip(nh_src, 1), axis=1), 1)
+        mask = idx < dsz[:, None]
+        # two-plane candidate table: rows 2b (start) / 2b+1 (count)
+        cd = jnp.stack([jnp.where(mask, s_l, 0),
+                        jnp.where(mask, cnt, 0)],
+                       axis=1).reshape(2 * B, LqP)
+        nhm = jnp.where(mask, nh, dsz[:, None])
+        ev, nev = pl.pallas_call(
+            kern,
+            grid=(B,),
+            scratch_shapes=[
+                pltpu.VMEM((1, CEF + 128), jnp.int32),   # q-side DMA
+                pltpu.VMEM((1, CEF + 128), jnp.int32),   # r-side DMA
+                pltpu.VMEM((1, 256), jnp.int32),         # tables DMA
+                pltpu.VMEM((1, 128), jnp.int32),         # ev staging
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+            in_specs=[
+                pl.BlockSpec((None, 1, 128), perq,
+                             memory_space=pltpu.SMEM),
+                anyspec,             # refbuf   (1, LrP)   HBM
+                anyspec,             # qbuf     (B, LqP)   HBM
+                anyspec,             # poslist  (1, KaP)   HBM
+                anyspec,             # cand     (2B, LqP)  HBM
+                anyspec,             # next_hit (B, LqP)   HBM
+                pl.BlockSpec((1, WinP), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 512), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CEF, 2 * CEF), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(anyspec,
+                       pl.BlockSpec((None, 1, 1), perq,
+                                    memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
+          cd[:, None, :], nhm[:, None, :], win, cmat,
+          jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
+        ev = ev[:, 0, :]
+        nev_flat = nev[:, 0, 0]
+        if LqP <= (1 << 16):
+            evr = ev.reshape(B, EvL // 8, 8)
+            p0 = evr[..., 0] | (evr[..., 2] << 16)
+            p2 = evr[..., 3] | (evr[..., 4] << 16)
+            ev = jnp.stack([p0, evr[..., 1], p2],
+                           axis=-1).reshape(B, (EvL // 8) * 3)
+        overflow = jnp.zeros((B,), jnp.bool_)
+        return ev, nev_flat, overflow
+
+    return step
 
 
 class PallasGroupIndex:
@@ -1871,8 +2231,18 @@ class PallasAll2All:
 
     CNT_CAP = 112
 
-    #: composite-symbol budget above which a reference row runs natively
+    #: composite-symbol budget above which a reference row leaves the
+    #: VMEM-resident kernels (-> the big path below, else native)
     MAX_REF_SYMS = 700_000
+
+    #: composite-symbol budget of the HBM-resident big kernel (~8.3 Mb
+    #: genomes; int32 position fields and the per-dispatch prep arrays
+    #: set the bound). Above it the row runs on the native engine.
+    MAX_BIG_SYMS = 1 << 24
+
+    #: the small kernels keep (ilv, LqP) int32 query blocks in VMEM;
+    #: above this bucket every device row routes through the big kernel
+    MAX_Q_VMEM = 1 << 19
 
     #: queries interleaved per kernel program (v4 lockstep kernel when >1)
     KPAIR = 1
@@ -1924,6 +2294,20 @@ class PallasAll2All:
         self.LqPrep = next(w for w in (self.LqP // 2, self.LqP * 3 // 4,
                                        self.LqP) if w >= need)
         self.packed_ev = self.LqP <= (1 << 16)
+        # long-genome (HBM-resident) path buckets: refs above
+        # MAX_REF_SYMS but within MAX_BIG_SYMS, plus — when the query
+        # bucket itself exceeds the VMEM envelope — every device row
+        nr_big = [v for v in nr_all
+                  if self.MAX_REF_SYMS < v <= self.MAX_BIG_SYMS]
+        if self.LqP > self.MAX_Q_VMEM or cfg.mal > 13:
+            nr_big = [v for v in nr_all if v <= self.MAX_BIG_SYMS]
+        self.LrP_big = _bucket(max(nr_big) + 1024) if nr_big else 0
+        self.KaP_big = (_bucket(self.LrP_big + 256, lo=1024)
+                        if nr_big else 0)
+        # event capacity scales with the query bucket (bacterial pairs
+        # log 10^5-10^6 events); EvL = MAXEV * 8 int32 lanes
+        self.MAXEV_BIG = max(PallasRefIndex.MAXEV, self.LqP // 32)
+        self.B_big = 4
         if not self.ilv:
             # auto: the v5 ilv=2 interleave measured >= v3 on every
             # workload regime once timed with min-of-N (vir61 +5% over 5
@@ -1934,10 +2318,14 @@ class PallasAll2All:
             # envelope; larger buckets keep the v3 single-query program.
             self.ilv = 2 if self.LqP <= (1 << 18) else 1
         if self.spec < 0:
-            # auto: off until the v6 kernel beats the v5 incumbent on
-            # BOTH vir61 and ab_dissimilar, min-of-N timed (CLAUDE.md
-            # kernel-default rule)
-            self.spec = 0
+            # auto: ON inside the TPU-validated envelope — the v6
+            # speculative kernel beat the v5 incumbent on BOTH canonical
+            # workloads, min-of-N interleaved-process timed (round 3):
+            # vir61 0.694-0.704 s/group vs v5's 0.712 / v3's 0.739-0.755
+            # (3 process pairs), ab_dissimilar 608.8/621.6 pairs/s vs
+            # 595.8/601.5 (2 process pairs), byte-exact everywhere
+            # (interpret stress + TPU oracle 8/8).
+            self.spec = 1 if self.LqP <= (1 << 18) else 0
         self.spec = bool(self.spec)
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
@@ -2008,10 +2396,12 @@ class PallasAll2All:
                 ev, nev, overflow = _run_step_aot(step, key_parts, args)
         return ev, nev, overflow
 
-    def _decode_ev(self, row: np.ndarray, n_ev: int, bad: bool):
+    def _decode_ev(self, row: np.ndarray, n_ev: int, bad: bool,
+                   cap: int | None = None):
         """One query's event rows from a downloaded buffer row (or None
         for the native-fallback cases)."""
-        if bad or n_ev < 0 or n_ev > self.EV_CAP:
+        if bad or n_ev < 0 or n_ev > (cap if cap is not None
+                                      else self.EV_CAP):
             return None
         if self.packed_ev:
             u = row[:n_ev * 3].view(np.uint32).reshape(n_ev, 3)
@@ -2083,6 +2473,61 @@ class PallasAll2All:
         return [[self._decode_ev(ev_h[g, b], int(nev_h[g, b]),
                                  bool(ovf[g, b]))
                  for b in range(self.B)] for g in range(G)]
+
+    # ---- long-genome (HBM-resident) path ---------------------------------
+
+    def build_big_index(self, r: int, device=None):
+        """Per-reference state for the big kernel: packed upload + win
+        table (PallasGroupIndex, G=1 at the big buckets) + the sorted-
+        join build (unpacked ref, sorted two-word keys, position list) —
+        all device-resident; reference prepare_reference parity
+        (parser.cpp:16-34, unbounded)."""
+        if device is None:
+            device = self.devices[0]
+        gidx = PallasGroupIndex([self.codes[r]], self.params,
+                                interpret=self.interpret, device=device,
+                                LrP=self.LrP_big, KaP=self.KaP_big)
+        build = _get_big_ref_build(self.LrP_big, self.KaP_big,
+                                   self.cfg.mal)
+        with jax.enable_x64(False):
+            refbuf, khi_s, klo_s, poslist = build(gidx.refbuf_p)
+        return dict(gidx=gidx, refbuf=refbuf, khi=khi_s, klo=klo_s,
+                    pos=poslist, nr=int(gidx.nrs[0]))
+
+    def dispatch_big(self, bidx, lo: int, device=None):
+        cfg = self.cfg
+        if device is None:
+            device = self.devices[0]
+        gidx = bidx["gidx"]
+        EvL = self.MAXEV_BIG * 8
+        key_parts = ("big", cfg, self.LrP_big, self.LqP, self.KaP_big,
+                     gidx.WinP, EvL, self.B_big)
+        with jax.enable_x64(False):
+            step = _get_big_step(cfg, self.LrP_big, self.LqP,
+                                 self.KaP_big, gidx.WinP, EvL,
+                                 self.B_big, self.interpret)
+            args = (bidx["refbuf"], bidx["khi"], bidx["klo"],
+                    bidx["pos"], self.Q[device], np.int32(lo),
+                    np.int32(bidx["nr"]), self.DSZ[device], gidx.win,
+                    gidx.cmat)
+            if self.interpret or len(self.devices) > 1:
+                ev, nev, overflow = step(*args)
+            else:
+                ev, nev, overflow = _run_step_aot(step, key_parts, args)
+        return ev, nev, overflow
+
+    def collect_big(self, handles):
+        """Download a dispatch_big result -> per-query event logs (None =
+        native fallback: event-capacity overflow)."""
+        ev, nev, _ = handles
+        stride = 3 if self.packed_ev else 8
+        with jax.enable_x64(False):
+            nev_h = np.asarray(jax.device_get(nev))
+            mx = max(int(nev_h.max(initial=0)), 16) * stride
+            ev_h = np.asarray(ev[:, :mx])
+        cap = self.MAXEV_BIG - 16
+        return [self._decode_ev(ev_h[b], int(nev_h[b]), False, cap=cap)
+                for b in range(self.B_big)]
 
     def run_range(self, r: int, lo: int):
         return self.collect(self.dispatch_range(r, lo))

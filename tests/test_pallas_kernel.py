@@ -175,10 +175,13 @@ def test_all2all_pallas_filter_plus_alignment():
 
 
 def test_all2all_pallas_vmem_fallback_logged():
-    """References past MAX_REF_SYMS run on the native engine, exactly,
-    with a loud -V>=1 warning (no silent caps)."""
+    """With the big path disabled, references past MAX_REF_SYMS run on
+    the native engine, exactly, with a loud -V>=1 warning (no silent
+    caps). (With it enabled — the default — they run on the HBM-resident
+    big kernel instead; see test_all2all_pallas_big_path.)"""
     import contextlib
     import io
+    import os
 
     from lzani_tpu.ops import pallas_engine as pe
 
@@ -187,11 +190,46 @@ def test_all2all_pallas_vmem_fallback_logged():
     big = rng.randint(0, 4, 360_000).astype(np.uint8)
     codes = [big, big[:1500].copy()]
     err = io.StringIO()
-    with contextlib.redirect_stderr(err):
-        got = pe.all2all_pallas(codes, p, interpret=True)
+    os.environ["LZANI_TPU_BIG"] = "0"
+    try:
+        with contextlib.redirect_stderr(err):
+            got = pe.all2all_pallas(codes, p, interpret=True)
+    finally:
+        del os.environ["LZANI_TPU_BIG"]
     want = ne.all2all(codes, p)
     assert np.array_equal(got, want)
-    assert "exceeds the device VMEM budget" in err.getvalue()
+    assert "exceeds the device budget" in err.getvalue()
+
+
+def test_all2all_pallas_big_path():
+    """The HBM-resident big kernel (DMA loads, two-plane unbounded
+    candidate table, sorted two-word-key join) is byte-exact vs the
+    native oracle — forced onto small genomes so interpret mode stays
+    fast. Covers candidate counts beyond the small path's 7-bit pack
+    (tandem repeats) and mal > 13 (no dense 4^mal table)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    rng = np.random.RandomState(11)
+    unit = rng.randint(0, 4, 13).astype(np.uint8)
+    rep = np.tile(unit, 150)  # ~150 copies/kmer > the 127-count pack
+    base = rng.randint(0, 4, 900).astype(np.uint8)
+    g1 = np.concatenate([base[:300], rep, base[300:]])
+    q1 = g1.copy()
+    m = rng.rand(len(q1)) < 0.05
+    q1[m] = (q1[m] + rng.randint(1, 4, m.sum())) % 4
+    codes = [g1, q1, base, rng.randint(0, 4, 700).astype(np.uint8)]
+    old = pe.PallasAll2All.MAX_REF_SYMS
+    pe.PallasAll2All.MAX_REF_SYMS = 100
+    try:
+        for mal, msl in ((11, 7), (20, 11)):
+            p = Params()
+            p.min_anchor_len = mal
+            p.min_seed_len = msl
+            want = ne.all2all(codes, p)
+            got = pe.all2all_pallas(codes, p, interpret=True)
+            assert np.array_equal(got, want), (mal, msl)
+    finally:
+        pe.PallasAll2All.MAX_REF_SYMS = old
 
 
 def test_all2all_pallas_filter_path():
