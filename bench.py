@@ -193,6 +193,52 @@ def main() -> int:
                     np.array_equal(hyb_out, ref_out))
                 result["hybrid_tpu_pairs"] = hst.get("tpu_pairs")
 
+                # --- combined-silicon proof: dissimilar-heavy set -----
+                # The regime where the device engine is closest to the
+                # host pool (desync-dominated). 300 genomes make the run
+                # long enough for the hybrid's lazy warm-up to engage;
+                # the key records the device's share (tpu_pairs) and the
+                # hybrid-vs-native ratio on the SAME workload,
+                # interleaved best-of-2 each.
+                if not os.environ.get("BENCH_SKIP_DISSIM"):
+                    sys.path.insert(0, os.path.join(REPO, "scripts"))
+                    import ab_dissimilar as _abd
+                    _abd.N = int(os.environ.get("BENCH_DISSIM_N", "300"))
+                    dcodes = _abd.synth()
+                    dn = len(dcodes)
+                    dpairs = dn * (dn - 1)
+                    d_ref = native_engine.all2all(dcodes, p)  # warm
+                    d_nat_dt = d_hyb_dt = 1e9
+                    d_hst = {}
+                    d_hyb_out = None
+                    # compile + program-load this set's shape buckets
+                    # (process-wide AOT memo; the timed hybrids then
+                    # warm up instantly and the device joins early)
+                    all2all_pallas(dcodes[:8], p)
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        native_engine.all2all(dcodes, p)
+                        d_nat_dt = min(d_nat_dt,
+                                       time.perf_counter() - t0)
+                        rep_st = {}
+                        t0 = time.perf_counter()
+                        out = all2all_hybrid(dcodes, p, stats=rep_st)
+                        rep_dt = time.perf_counter() - t0
+                        if rep_dt < d_hyb_dt:
+                            d_hyb_dt, d_hst, d_hyb_out = (rep_dt, rep_st,
+                                                          out)
+                    result["dissim_n_genomes"] = dn
+                    result["dissim_native_pairs_per_s"] = round(
+                        dpairs / d_nat_dt, 1)
+                    result["dissim_hybrid_pairs_per_s"] = round(
+                        dpairs / d_hyb_dt, 1)
+                    result["dissim_hybrid_tpu_pairs"] = d_hst.get(
+                        "tpu_pairs")
+                    result["dissim_hybrid_exact"] = bool(
+                        np.array_equal(d_hyb_out, d_ref))
+                    result["dissim_hybrid_vs_native"] = round(
+                        d_nat_dt / d_hyb_dt, 4)
+
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
 

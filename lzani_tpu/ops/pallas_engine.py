@@ -1735,8 +1735,12 @@ def _get_big_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
 
     @jax.jit
     def step(refbuf, khi_s, klo_s, poslist, Qpacked, lo_row, nr_s,
-             dszs_full, win, cmat):
+             dszs_full, win, cmat, skip_row):
         dsz = jax.lax.dynamic_slice(dszs_full, (lo_row,), (B,))
+        # self-pair (q == ref) and padding rows no-op in the kernel:
+        # a megabase self-parse would otherwise dominate the dispatch
+        rowid = lo_row + jnp.arange(B, dtype=jnp.int32)
+        dsz = jnp.where(rowid == skip_row, jnp.int32(msl), dsz)
         scal = (jnp.zeros((B, 128), jnp.int32)
                 .at[:, 0].set(dsz)
                 .at[:, 1].set(nr_s))
@@ -2307,7 +2311,14 @@ class PallasAll2All:
         # event capacity scales with the query bucket (bacterial pairs
         # log 10^5-10^6 events); EvL = MAXEV * 8 int32 lanes
         self.MAXEV_BIG = max(PallasRefIndex.MAXEV, self.LqP // 32)
-        self.B_big = 4
+        # queries per big dispatch: bounded so one kernel EXECUTION stays
+        # well under the worker's hang watchdog (a 4-query 5 Mb dispatch
+        # ~85 s crashed the worker; 1-query ~21 s is fine — measured
+        # round 3). ~4 s/Mb/query similar-pair => cap ~2^23 query slots
+        # per execution. Env override for A/B.
+        import os as _os
+        bb = int(_os.environ.get("LZANI_TPU_BBIG", "0"))
+        self.B_big = bb if bb > 0 else max(1, min(4, (1 << 23) // self.LqP))
         if not self.ilv:
             # auto: the v5 ilv=2 interleave measured >= v3 on every
             # workload regime once timed with min-of-N (vir61 +5% over 5
@@ -2492,7 +2503,7 @@ class PallasAll2All:
         with jax.enable_x64(False):
             refbuf, khi_s, klo_s, poslist = build(gidx.refbuf_p)
         return dict(gidx=gidx, refbuf=refbuf, khi=khi_s, klo=klo_s,
-                    pos=poslist, nr=int(gidx.nrs[0]))
+                    pos=poslist, nr=int(gidx.nrs[0]), r=r)
 
     def dispatch_big(self, bidx, lo: int, device=None):
         cfg = self.cfg
@@ -2509,7 +2520,7 @@ class PallasAll2All:
             args = (bidx["refbuf"], bidx["khi"], bidx["klo"],
                     bidx["pos"], self.Q[device], np.int32(lo),
                     np.int32(bidx["nr"]), self.DSZ[device], gidx.win,
-                    gidx.cmat)
+                    gidx.cmat, np.int32(bidx.get("r", -1)))
             if self.interpret or len(self.devices) > 1:
                 ev, nev, overflow = step(*args)
             else:

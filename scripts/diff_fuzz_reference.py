@@ -16,8 +16,9 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 REF_BIN = "/tmp/lzani_ref"
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_pos[0]) if _pos else 20
+SEED = int(_pos[1]) if len(_pos) > 1 else 0
 
 BASES = np.array(list("ACGT"))
 
@@ -195,12 +196,51 @@ def run_case(tc, seqs, flags, workdir, rng=None):
     return None
 
 
+def gen_case_bacterial(rng):
+    """Bacterial-shaped case (BASELINE.json configs[4]): 0.5-1.5 Mb
+    genomes with rRNA-like repeat islands + IS-element repeats,
+    structural indels, tuned long-genome params (mal/msl/reg scaled up
+    per the reference README's bacteria guidance)."""
+    L = int(rng.randint(500_000, 1_500_000))
+    g = rng.randint(0, 4, L).astype(np.uint8)
+    unit = rng.randint(0, 4, 5000).astype(np.uint8)
+    for _ in range(5):
+        p = rng.randint(0, L - 6000)
+        g[p:p + 5000] = unit
+    is_el = rng.randint(0, 4, 1200).astype(np.uint8)
+    for _ in range(20):
+        p = rng.randint(0, L - 1500)
+        g[p:p + 1200] = is_el
+    seqs = [g]
+    for k in range(int(rng.randint(1, 3))):
+        q = g.copy()
+        m = rng.rand(len(q)) < rng.uniform(0.02, 0.08)
+        q[m] = (q[m] + rng.randint(1, 4, m.sum())) % 4
+        for _ in range(10):
+            j = rng.randint(0, len(q) - 5000)
+            if rng.rand() < 0.5:
+                q = np.delete(q, slice(j, j + rng.randint(100, 3000)))
+            else:
+                ins = rng.randint(0, 4,
+                                  rng.randint(100, 3000)).astype(np.uint8)
+                q = np.concatenate([q[:j], ins, q[j:]])
+        seqs.append(np.ascontiguousarray(q))
+    mal = int(rng.randint(16, 23))
+    msl = int(rng.randint(9, 14))
+    reg = int(rng.randint(60, 101))
+    flags = ["-a", str(mal), "-s", str(msl), "-g", str(reg),
+             "--out-format", "complete"]
+    return seqs, flags
+
+
 def main():
     rng = np.random.RandomState(SEED)
+    bacterial = "--bacterial" in sys.argv
     fails = 0
     with tempfile.TemporaryDirectory() as wd:
         for tc in range(N):
-            seqs, flags = gen_case(rng)
+            seqs, flags = (gen_case_bacterial(rng) if bacterial
+                           else gen_case(rng))
             err = run_case(tc, seqs, flags, wd, rng)
             if err == "SKIP":
                 print(f"case {tc}: SKIP (reference output is heap-"
