@@ -6,7 +6,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    # CPU-only when run as the stress script; importers (the on-TPU
+    # param sweep borrows mutate/rand_params) keep their own platform.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
