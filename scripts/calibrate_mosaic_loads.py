@@ -89,6 +89,35 @@ def make(variant, depth):
                                memory_space=pltpu.VMEM)])
 
 
+def make_alt(K, depth):
+    """K dependent chains with ALTERNATED per-op emission (the v5/v6
+    interleave shape): step j of every chain is emitted together, so
+    Mosaic sees K independent loads per dependent step. This is the
+    packed-band GO/NO-GO number — per-pair scalar-floor amortization at
+    interleave width K."""
+    def kernel(buf, o_ref):
+        def body(st):
+            i, accs = st[0], list(st[1:])
+            ps = [(accs[k] + 3 * k) % (L - 512) for k in range(K)]
+            for _ in range(depth):
+                rows = [align_load(buf, ps[k], 128) for k in range(K)]
+                ps = [(jnp.max(rows[k]) + ps[k] + 13) % (L - 512)
+                      for k in range(K)]
+            return (i + 1, *[a + p for a, p in zip(accs, ps)])
+        st = jax.lax.while_loop(
+            lambda st: st[0] < N, body,
+            (jnp.int32(0), *[jnp.int32(k) for k in range(K)]))
+        tot = st[1]
+        for k in range(2, K + 1):
+            tot = tot + st[k]
+        o_ref[0:1, :] = jnp.full((1, 128), tot, I32)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), I32),
+        in_specs=[pl.BlockSpec((1, L), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)])
+
 
 def make2(variant, depth):
     """Component pricing of the align_load round-trip."""
@@ -137,6 +166,14 @@ def main():
             nch = {"load1": 1, "load2": 2, "load4": 4}[variant]
             print(f"depth={depth} {variant}: {dt/N*1e9:7.1f} ns/iter "
                   f"({dt/N/depth/nch*1e9:6.1f} ns per load)", flush=True)
+    base = None
+    for K in (1, 2, 4, 8):
+        f = jax.jit(make_alt(K, 8))
+        dt = timeit(f, buf)
+        if K == 1:
+            base = dt
+        print(f"alt K={K}: {dt/N*1e9:7.1f} ns/iter = {dt/base:4.2f}x K=1 "
+              f"(per-chain amortization {dt/base/K:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
