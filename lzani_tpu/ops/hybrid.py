@@ -292,7 +292,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     # host) costs CPU the native pool could use (measured -7% on vir61),
     # so it only starts once the native pool's own early rate projects
     # the remaining queue to outlast LZANI_TPU_WARM_MIN_S seconds
-    warm_state: dict = {"s": None, "ok": None}
+    warm_state: dict = {"s": None, "ok": None, "why": None}
 
     def _warm():
         nonlocal eng, devices, depth
@@ -312,15 +312,18 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                         # no usable accelerator: the native pool simply
                         # owns the run (policy, not a failure — no warning)
                         warm_state["ok"] = False
+                        warm_state["why"] = "no-device"
                         return
                 if warm_state.get("cancel"):  # run already drained
                     warm_state["ok"] = False
+                    warm_state["why"] = "cancelled-before-engine"
                     return
                 depth = 2 * len(devices)
                 eng = PallasAll2All(codes, params, devices=devices,
                                     interpret=interpret)
                 if warm_state.get("cancel"):
                     warm_state["ok"] = False
+                    warm_state["why"] = "cancelled-before-dispatch"
                     return
                 gi = eng.build_group_index([-1] * GROUP, eng.devices[0])
                 t0 = time.perf_counter()
@@ -330,6 +333,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 warm_state["ok"] = True
         except Exception as e:  # device dead at startup: CPU owns the run
             warm_state["ok"] = False
+            warm_state["why"] = f"{type(e).__name__}: {e}"[:200]
             _warn(f"lz-ani-tpu: device warm-up failed "
                   f"({type(e).__name__}: {e}); hybrid run continues on "
                   f"the native pool alone")
@@ -616,6 +620,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         stats["warm_s"] = warm_state["s"]
         stats["warm_started"] = warm_started
         stats["warm_pending"] = warm_started and warm_state["ok"] is None
+        stats["warm_why"] = warm_state.get("why")
         stats["t_unit_s"] = t_group[0]
         stats["duty_latched"] = duty["latched"]
     if rf is not None:

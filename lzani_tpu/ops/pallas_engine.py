@@ -1007,7 +1007,7 @@ def _code_salt() -> str:
     h = hashlib.sha1()
     base = _os.path.dirname(_os.path.abspath(__file__))
     for name in ("pallas_engine.py", "pallas_v4.py", "pallas_v5.py",
-                 "pallas_v6.py", "anchor_tables.py", "parse.py", "prep.py"):
+                 "pallas_v6.py", "pallas_v7.py", "anchor_tables.py", "parse.py", "prep.py"):
         try:
             with open(_os.path.join(base, name), "rb") as fh:
                 h.update(fh.read())
@@ -1320,7 +1320,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
                    interpret: bool = False, kpair: int | None = None,
-                   ilv: int | None = None, spec: bool | None = None):
+                   ilv: int | None = None, spec: bool | None = None,
+                   sim: bool | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -1363,7 +1364,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         devices = jax.local_devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
                         interpret=interpret, kpair=kpair, ilv=ilv,
-                        spec=spec)
+                        spec=spec, sim=sim)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
@@ -1872,7 +1873,8 @@ class PallasGroupIndex:
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
-                    ilv: int = 1, spec: bool = False):
+                    ilv: int = 1, spec: bool = False,
+                    sim: bool = False):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
@@ -1880,7 +1882,11 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     in the v6 speculative-next-window kernel (ops/pallas_v6.py, same
     block contract) at the same interleave width."""
     EvL = PallasRefIndex.MAXEV * 8
-    if spec:
+    if sim:
+        from .pallas_v7 import make_parse_kernel_sim
+        assert B % ilv == 0, (B, ilv)
+        kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
+    elif spec:
         from .pallas_v6 import make_parse_kernel_spec
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_spec(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
@@ -1956,7 +1962,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                 .at[:, :, 0].set(dsz[None, :])
                 .at[:, :, 1].set(nrs[:, None]))
         # --- kernel: (G, B) grid, query index innermost -------------------
-        if ilv > 1 or spec:
+        if ilv > 1 or spec or sim:
             # ilv gets its OWN (fully-covered) dimension: Mosaic requires
             # sublane block dims divisible by 8 or equal to the array dim
             Bi = B // ilv
@@ -2253,7 +2259,7 @@ class PallasAll2All:
 
     def __init__(self, codes, params, devices=None, interpret=False,
                  kpair: int | None = None, ilv: int | None = None,
-                 spec: bool | None = None):
+                 spec: bool | None = None, sim: bool | None = None):
         self.codes = codes
         self.params = params
         self.interpret = interpret
@@ -2283,6 +2289,13 @@ class PallasAll2All:
             import os as _os
             spec = int(_os.environ.get("LZANI_TPU_SPEC", "-1"))
         self.spec = int(spec)
+        # v7 predicated-SIMT-tail kernel toggle (ops/pallas_v7.py):
+        # -1/None = auto (resolved after LqP below), 0 = off,
+        # 1 = force v7 at the resolved interleave width.
+        if sim is None:
+            import os as _os
+            sim = int(_os.environ.get("LZANI_TPU_SIM", "-1"))
+        self.sim = int(sim)
         self.devices = list(devices) if devices else [None]
         self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
         # run-wide reference buckets over the device-eligible refs: every
@@ -2338,6 +2351,12 @@ class PallasAll2All:
             # (interpret stress + TPU oracle 8/8).
             self.spec = 1 if self.LqP <= (1 << 18) else 0
         self.spec = bool(self.spec)
+        if self.sim < 0:
+            # auto: pending the round-3 TPU A/B (see ops/DESIGN.md)
+            self.sim = 0
+        self.sim = bool(self.sim)
+        if self.sim:
+            self.spec = False   # v7 supersedes the v6 program when forced
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
         if self.kpair > 1:
             self.B = max(self.B, self.kpair)    # grid needs B % K == 0
@@ -2457,12 +2476,13 @@ class PallasAll2All:
         B = self.B
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
-                     self.LqPrep, self.ilv, self.spec)
+                     self.LqPrep, self.ilv, self.spec, self.sim)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
-                                   self.LqPrep, self.ilv, self.spec)
+                                   self.LqPrep, self.ilv, self.spec,
+                                   self.sim)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

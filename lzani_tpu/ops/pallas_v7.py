@@ -1,0 +1,733 @@
+"""v7 event-log kernel: fully-predicated SIMT decision tails.
+
+Round-3 calibration (scripts/calibrate_mosaic_loads.py `alt K=`) showed
+the round-2 "serial floor" was an EMISSION artifact: K dependent
+dynamic-load chains emitted ALTERNATED per-op cost 1.01x/1.05x/1.13x a
+single chain at K=2/4/8 (block-sequential emission measured
+1.7x/2.6x — the number the round-2 ceiling was derived from). The v5/v6
+kernels alternate only the window phase; their per-event decision tails
+(anchor resolve, WIN probe, exact-LCE chunks, ext chunks — the 5-8
+dependent round trips per event) sit under per-pair `lax.cond`s, which
+serialize additively and cannot alternate. Flat v6 timings at
+ilv=2/4/8 confirm the tails are the entire remaining cost.
+
+v7 therefore makes the tail BRANCHLESS: every pair advances one
+superstep per macro-iteration through ONE straight-line predicated
+pipeline whose ops are emitted alternated across the K pairs —
+  * sync/desync/no-event/to-end outcomes become masked selects;
+  * the anchor resolve becomes a SIMT micro-state loop: each iteration
+    every pair advances one 512-lane LCE chunk of its current
+    candidate (candidate index, chunk offset, best carried per pair);
+  * the WIN arbitration probe is an always-issued clamped load;
+  * forward/backward extension FIRST chunks run for all pairs
+    alternated (77% of extensions end inside the first chunk);
+  * the event-log flush cond is gone: the pending block is stored
+    every event (idempotent rewrite of the same lanes).
+Rare paths keep shared `lax.cond`s taken only when SOME pair needs
+them: the capped-cell contest, and multi-chunk extension continuations
+(per-pair serial inside, as v5 — rare by measurement).
+
+Exactness contract: identical event streams to the v3/v5/v6 kernels and
+the native oracle; the replay machinery downstream
+(lza_replay_finalize) is unchanged. Reference semantics mirrored via
+v3: parser.cpp:482-716 (per-construct citations in ops/pallas_engine.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .anchor_tables import SAT
+from .parse import ParseCfg
+from .pallas_engine import (BIG, CAP, CEF, CH, I32, WCOLS, WROWS,
+                            lane_iota, reverse_lanes, to_col)
+from .pallas_v4 import align_load_r, vext_r
+
+__all__ = ["make_parse_kernel_sim"]
+
+
+def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
+                          WinP: int, EvL: int, K: int):
+    """K-pair predicated-SIMT kernel. Block contract matches
+    make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
+    qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
+    (1,KaP), win (1,WinP), cmat (128,512), cmat2 (CEF,2CEF); outputs
+    ev (K,EvL) VMEM, nev (K,1) SMEM."""
+    MAXEV = EvL // 128 * 16
+    mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
+    reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
+    D = mqd + 1
+    W = mqd + mrd
+    NL = mqd + 1
+    NS = SAT - msl + 1
+    msl_eff = min(msl, CAP)
+    assert D + msl_eff <= WROWS, (D, msl_eff)
+    assert W + D + msl_eff <= WCOLS, (W, D, msl_eff)
+    assert max(mqd, mrd) <= 127
+    assert 1 <= aw <= 128 and 0 <= ar <= 128, (aw, ar)
+    # the WIN table's maximum legal index (clamp target for the
+    # always-issued arbitration probe; valid probes never exceed it)
+    WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
+
+    def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
+               cmat2, ev_out, nev_out):
+        nr = scal_ref[0, 1]
+        dszs = [scal_ref[k, 0] for k in range(K)]
+
+        # ---- serial helpers for the RARE shared-cond paths (v5 verbatim,
+        # row-indexed; see ops/pallas_v5.py for the per-line provenance)
+        def exact_lce(k, qs, rs, cap):
+            def body(st):
+                off, _ = st
+                qb = align_load_r(qbuf, k, qs + off, CH)
+                rb = align_load_r(refbuf, 0, rs + off, CH)
+                neq = (qb != rb).astype(I32)
+                fm = jnp.min(jnp.where(neq > 0, lane_iota(CH), CH))
+                return off + CH, fm
+
+            def cond(st):
+                off, fm = st
+                return (fm == CH) & (off < cap)
+
+            off, fm = body((jnp.int32(0), jnp.int32(CH)))
+            off, fm = jax.lax.while_loop(cond, lambda st: body(st),
+                                         (off, fm))
+            return jnp.minimum(off - CH + fm, cap)
+
+        # ---- extension scan split into an alternating first chunk and a
+        # rare serial continuation (v5 ext_scan, restructured)
+        def ext_load_miss(k, dpos, rpos, base, forward):
+            if forward:
+                CE = CEF
+                qo = jnp.clip(dpos + base, 0, LqP - CE - 128)
+                ro = jnp.clip(rpos + base, 0, LrP - CE - 128)
+                qb = align_load_r(qbuf, k, qo, CE)
+                rb = align_load_r(refbuf, 0, ro, CE)
+                return (qb != rb).astype(I32)
+            CE = 128
+            sq = dpos - base - CE
+            sr = rpos - base - CE
+            sh = jnp.clip(jnp.maximum(-sq, -sr), 0, CE)
+            qb = align_load_r(qbuf, k,
+                              jnp.clip(sq + sh, 0, LqP - CE - 128), CE)
+            rb = align_load_r(refbuf, 0,
+                              jnp.clip(sr + sh, 0, LrP - CE - 128), CE)
+            m0 = (qb != rb).astype(I32)
+            mr = reverse_lanes(m0, cmat[:, 128:256])
+            return pltpu.roll(mr, CE - sh, 1)
+
+        def ext_win_sums(m_eff, forward):
+            return jax.lax.dot_general(
+                m_eff.astype(jnp.float32),
+                cmat2[:, :] if forward else cmat[:, 256:512],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(I32)
+
+        def ext_first_reduce(miss, total, forward):
+            """First-chunk decision vectors -> (last_sc, done_sc, m_eff,
+            last_v). Pure VPU work on an already-loaded miss vector."""
+            CE = CEF if forward else 128
+            io = lane_iota(CE)
+            nv = jnp.minimum(total, CE)
+            valid = io < nv
+            m_eff = jnp.where(valid, miss, 0)
+            W2 = ext_win_sums(m_eff, forward)
+            stop = valid & (W2[:, 0:CE] > am)
+            fs = jnp.min(jnp.where(stop, io, CE), axis=1, keepdims=True)
+            ok = (valid & (m_eff == 0) & (W2[:, CE:2 * CE] == 0)
+                  & (io < fs))
+            last_v = jnp.where(ok, io + 1, 0)
+            P = fs * 1024 + jnp.max(last_v, axis=1, keepdims=True)
+            p_sc = P[0, 0]
+            last_sc = p_sc % 1024
+            done_sc = (p_sc // 1024 < CE) | (nv < CE)
+            return last_sc, done_sc, m_eff, last_v
+
+        def ext_continue(k, dpos, rpos, total, m_eff, last_v, last_sc,
+                         forward):
+            """The rare multi-chunk continuation (v5 big_body verbatim)."""
+            CE = CEF if forward else 128
+            io = lane_iota(CE)
+
+            def big_body(st):
+                base, m_prev, last_v, _ = st
+                lm = jnp.max(jnp.where(m_prev > 0, io, -1), axis=1,
+                             keepdims=True)
+                run0v = jnp.where(lm >= 0, jnp.minimum(CE - 1 - lm, ar),
+                                  jnp.int32(ar))
+                tail = pltpu.roll(m_prev, aw - 1, 1)
+                tail = jnp.where(io <= aw - 2, tail, 0)
+                nv = jnp.minimum(total - base, CE)
+                miss = ext_load_miss(k, dpos, rpos, base, forward)
+                valid = io < nv
+                m_eff = jnp.where(valid, miss, 0)
+                W2 = ext_win_sums(m_eff, forward)
+                sufs = tail
+                for stp in (1, 2, 4, 8):
+                    sufs = sufs + jnp.where(
+                        io < CE - stp, pltpu.roll(sufs, CE - stp, 1), 0)
+                bad = W2[:, 0:CE] + jnp.where(io <= aw - 2, sufs, 0)
+                stop = valid & (bad > am)
+                fs = jnp.min(jnp.where(stop, io, CE), axis=1,
+                             keepdims=True)
+                extra = jnp.maximum((ar - 1 - run0v) - io, 0)
+                ok = (valid & (m_eff == 0)
+                      & ((W2[:, CE:2 * CE] + extra) == 0) & (io < fs))
+                last_v = jnp.maximum(last_v,
+                                     jnp.where(ok, base + io + 1, 0))
+                done_sc = (fs[0, 0] < CE) | (nv < CE)
+                return (base + CE, m_eff, last_v, done_sc)
+
+            def big_cond(st):
+                base, _, _, done_sc = st
+                return (~done_sc) & (base < total)
+
+            st = (jnp.int32(CE), m_eff, last_v, jnp.bool_(False))
+            st = jax.lax.while_loop(big_cond, big_body, st)
+            return jax.lax.cond(st[0] > CE, lambda _: jnp.max(st[2]),
+                                lambda _: last_sc, None)
+
+        def log_event(k, st, i_ev, bpos, blen, bwd, ext, good):
+            """v5 log_event, predicated: the record merges into the
+            pending block only where `good`; the block store is ALWAYS
+            issued (rewriting identical lanes when ~good), removing the
+            per-pair flush cond."""
+            ne, pend = st
+            lane0 = (ne % 16) * 8
+            io = lane_iota(128)
+            rec = jnp.where(io == lane0, i_ev,
+                  jnp.where(io == lane0 + 1, bpos,
+                  jnp.where(io == lane0 + 2, blen,
+                  jnp.where(io == lane0 + 3, bwd,
+                  jnp.where(io == lane0 + 4, ext, 0)))))
+            pend = jnp.where(good & (io >= lane0) & (io < lane0 + 8),
+                             rec, pend)
+            blk = ne // 16
+            ev_out[k:k + 1,
+                   pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+            ne2 = ne + jnp.where(good, 1, 0)
+            pend = jnp.where(good & (ne2 % 16 == 0),
+                             jnp.zeros((1, 128), I32), pend)
+            return ne2, pend
+
+        # ---- shared window constants (hoisted out of the loop) -----------
+        rowi = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
+        coli = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
+        Scap = jnp.minimum(jnp.minimum(WROWS - rowi, WCOLS - coli), CAP)
+        c511 = 511 - coli
+        cmr = coli - rowi
+        di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
+        di23 = di << 23
+
+        def window_phase_all(states):
+            """v5 window_phase_all verbatim (ops/pallas_v5.py:296-385):
+            window build + combined reduce for ALL K pairs, ops emitted
+            alternated per-op across pairs."""
+            K_ = len(states)
+            w = [{} for _ in range(K_)]
+            for k, st in enumerate(states):
+                i, pred, lit_run = st[0], st[1], st[2]
+                w[k]["i0"] = i
+                w[k]["b0"] = jnp.maximum(pred - lit_run, 0)
+                w[k]["D_eff"] = jnp.minimum(mqd - lit_run + 1,
+                                            (dszs[k] - msl) - i)
+                w[k]["c_lo"] = (pred - lit_run) - w[k]["b0"]
+                w[k]["off"] = pred - w[k]["b0"]
+            qrow = [align_load_r(qbuf, k, w[k]["i0"], 128)
+                    for k in range(K_)]
+            rrow = [align_load_r(refbuf, 0, w[k]["b0"], WCOLS)
+                    for k in range(K_)]
+            cvec = [align_load_r(cand, k, w[k]["i0"], 128)
+                    for k in range(K_)]
+            qcol = [to_col(qrow[k], cmat[:, 0:128])[:WROWS]
+                    for k in range(K_)]
+            anch_col = [to_col((cvec[k] > 0).astype(I32),
+                               cmat[:, 0:128])[:WROWS] for k in range(K_)]
+            E = [(qcol[k] == rrow[k]).astype(I32) for k in range(K_)]
+            S = list(E)
+            step = 1
+            while step < CAP:
+                for k in range(K_):
+                    M2 = pltpu.roll(pltpu.roll(S[k], WROWS - step, 0),
+                                    WCOLS - step, 1)
+                    take = ((S[k] == step) & (rowi < WROWS - step)
+                            & (coli < WCOLS - step))
+                    S[k] = S[k] + jnp.where(take, M2, 0)
+                step *= 2
+            for k in range(K_):
+                w[k]["S"] = S[k]
+                w[k]["SgeM"] = S[k] >= msl
+                w[k]["SU"] = w[k]["SgeM"] & (S[k] < Scap)
+                w[k]["S18"] = S[k] << 18
+            Sbase = [jnp.where(w[k]["SgeM"] & (S[k] >= Scap), 1 << 24, 0)
+                     + w[k]["S18"] for k in range(K_)]
+            geo = [None] * K_
+            tie = [None] * K_
+            R1 = [None] * K_
+            for k in range(K_):
+                live = (rowi >= 0) & (rowi < w[k]["D_eff"])
+                geo[k] = (live & (coli >= w[k]["c_lo"])
+                          & (cmr < w[k]["off"] + mrd))
+                tie[k] = ((127 - jnp.abs(cmr - w[k]["off"])) << 9) | c511
+            for k in range(K_):
+                R1[k] = jnp.max(
+                    jnp.where(geo[k] & w[k]["SgeM"], Sbase[k] + tie[k],
+                              -1), axis=1, keepdims=True)
+            packed = [None] * K_
+            for k in range(K_):
+                cap_r = R1[k] >= (1 << 24)
+                lmax_r = (R1[k] >> 18) & 63
+                brel_r = 511 - (R1[k] & 511)
+                sf_r = ~cap_r & (R1[k] >= (msl << 18))
+                live1 = (di >= 0) & (di < w[k]["D_eff"])
+                hit = ((R1[k] >= (msl << 18)) | (anch_col[k] > 0)) & live1
+                anch_bit = jnp.where(anch_col[k] > 0, 1 << 22, 0)
+                packed[k] = jnp.where(
+                    hit,
+                    di23 + anch_bit
+                    + jnp.where(sf_r, (1 << 21) + (lmax_r << 15)
+                                + (brel_r << 6), 0)
+                    + jnp.where(cap_r, 1 << 5, 0),
+                    BIG)
+            for k in range(K_):
+                a_min = states[k][9]
+                w[k]["pk"] = jnp.min(jnp.where(di >= a_min, packed[k],
+                                               BIG))
+                w[k]["geo"] = geo[k]
+                w[k]["tie"] = tie[k]
+            return w
+
+        def contest_one(k, w, dd, i_ev, pred_dd, sf_u, lmax_u, s_pos0):
+            """v5 contest verbatim (rare path; serial per pair)."""
+            dsz = dszs[k]
+            b0 = w["b0"]
+            rmask = (rowi == dd) & w["geo"]
+            RU = jnp.max(jnp.where(rmask & w["SU"],
+                                   w["S18"] + w["tie"], -1))
+            sfu2 = RU >= (msl << 18)
+            bl0 = jnp.where(sfu2, (RU >> 18) & 63, 0)
+            bp0 = jnp.where(sfu2, b0 + (511 - (RU & 511)), 0)
+            bdst0 = jnp.where(sfu2, jnp.abs(bp0 - pred_dd), BIG)
+            capped_col = jnp.where(
+                rmask & w["SgeM"] & (w["S"] >= Scap), coli, BIG)
+
+            def nxt(c0):
+                return jnp.min(
+                    jnp.where(capped_col >= c0, capped_col, BIG))
+
+            def body(cst):
+                c, blen, bpos, bdst = cst
+                p = b0 + c
+                ml = exact_lce(k, i_ev, p,
+                               jnp.minimum(nr - p, dsz - i_ev))
+                dst = jnp.abs(p - pred_dd)
+                better = ((ml > blen)
+                          | ((ml == blen) & (dst < bdst))
+                          | ((ml == blen) & (dst == bdst)
+                             & (p < bpos)))
+                return (nxt(c + 1),
+                        jnp.where(better, ml, blen),
+                        jnp.where(better, p, bpos),
+                        jnp.where(better, dst, bdst))
+
+            c0 = nxt(jnp.int32(0))
+            _, blen, bpos, _ = jax.lax.while_loop(
+                lambda cst: cst[0] != BIG, body,
+                (c0, bl0, bp0, bdst0))
+            return blen, bpos
+
+        # ---- the SIMT anchor resolve -------------------------------------
+        def simt_anchor_all(i_evs, needs):
+            """All K pairs resolve their anchor candidates in lockstep:
+            one shared while loop; each iteration advances every live
+            pair by one CH-lane LCE chunk of its current candidate.
+            Per-pair semantics are exactly v5 resolve_anchor/exact_lce
+            (candidates in poslist order; strict > keeps the first
+            longest)."""
+            pkcs = [vext_r(cand, k, i_evs[k]) for k in range(K)]
+            los = [pkcs[k] >> 7 for k in range(K)]
+            cnts = [jnp.where(needs[k], pkcs[k] & 127, 0)
+                    for k in range(K)]
+            pvecs = [align_load_r(poslist, 0, los[k], 128)
+                     for k in range(K)]
+
+            def cand_at(k, c, live):
+                pc = pltpu.roll(pvecs[k], 128 - c, 1)[0, 0]
+                pc = jnp.where(live, pc, 0)
+                cap = jnp.where(
+                    live, jnp.minimum(nr - pc, dszs[k] - i_evs[k]), 0)
+                return pc, jnp.maximum(cap, 0)
+
+            inits = []
+            for k in range(K):
+                live0 = cnts[k] > 0
+                pc0, cap0 = cand_at(k, jnp.int32(0), live0)
+                inits.extend([jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                              jnp.int32(0), pc0, cap0])
+
+            def unpack(st):
+                return [st[6 * k:6 * k + 6] for k in range(K)]
+
+            def loop_cond(st):
+                alive = None
+                for k in range(K):
+                    a = st[6 * k] < cnts[k]
+                    alive = a if alive is None else (alive | a)
+                return alive
+
+            def loop_body(st):
+                ps = unpack(st)
+                lives = [ps[k][0] < cnts[k] for k in range(K)]
+                # chunk loads — all pairs, alternated
+                qbs = [align_load_r(qbuf, k,
+                                    jnp.where(lives[k],
+                                              i_evs[k] + ps[k][1], 0),
+                                    CH) for k in range(K)]
+                rbs = [align_load_r(refbuf, 0,
+                                    jnp.where(lives[k],
+                                              ps[k][4] + ps[k][1], 0),
+                                    CH) for k in range(K)]
+                fms = [jnp.min(jnp.where((qbs[k] != rbs[k]),
+                                         lane_iota(CH), CH))
+                       for k in range(K)]
+                out = []
+                for k in range(K):
+                    c, off, blen, bpos, pc, cap = ps[k]
+                    fm = fms[k]
+                    ml = jnp.minimum(off + fm, cap)
+                    cd = (fm < CH) | (off + CH >= cap)  # candidate done
+                    fin = lives[k] & cd
+                    take = fin & (ml > blen)
+                    blen2 = jnp.where(take, ml, blen)
+                    bpos2 = jnp.where(take, pc, bpos)
+                    c2 = jnp.where(fin, c + 1, c)
+                    off2 = jnp.where(lives[k],
+                                     jnp.where(cd, 0, off + CH), off)
+                    live2 = c2 < cnts[k]
+                    pc_n, cap_n = cand_at(k, c2, live2)
+                    pc2 = jnp.where(fin, pc_n, pc)
+                    cap2 = jnp.where(fin, cap_n, cap)
+                    out.extend([c2, off2, blen2, bpos2, pc2, cap2])
+                return tuple(out)
+
+            st = jax.lax.while_loop(loop_cond, loop_body, tuple(inits))
+            ps = unpack(st)
+            return ([ps[k][2] for k in range(K)],
+                    [ps[k][3] for k in range(K)])
+
+        # ---- the predicated unified tail ----------------------------------
+        def unified_tail(sts, ws, acts, syncs):
+            dd = [None] * K
+            has_anch = [None] * K
+            sf_u = [None] * K
+            lmax_u = [None] * K
+            brel_u = [None] * K
+            has_cap = [None] * K
+            sync_att = [None] * K
+            i_evs = [None] * K
+            desy_att = [None] * K
+            to_end = [None] * K
+            js = [vext_r(next_hit, k, sts[k][0]) for k in range(K)]
+            for k in range(K):
+                st = sts[k]
+                if ws is not None:
+                    pk = ws[k]["pk"]
+                    sync_att[k] = syncs[k] & (pk != BIG)
+                    dd[k] = pk >> 23
+                    has_anch[k] = ((pk >> 22) & 1) > 0
+                    sf_u[k] = ((pk >> 21) & 1) > 0
+                    lmax_u[k] = (pk >> 15) & 63
+                    brel_u[k] = (pk >> 6) & 511
+                    has_cap[k] = ((pk >> 5) & 1) > 0
+                else:
+                    sync_att[k] = jnp.bool_(False)
+                    dd[k] = jnp.int32(0)
+                    has_anch[k] = jnp.bool_(False)
+                    sf_u[k] = jnp.bool_(False)
+                    lmax_u[k] = jnp.int32(0)
+                    brel_u[k] = jnp.int32(0)
+                    has_cap[k] = jnp.bool_(False)
+                desy = acts[k] & ~syncs[k]
+                desy_att[k] = desy & (js[k] < dszs[k] - msl)
+                to_end[k] = desy & ~desy_att[k]
+                i_evs[k] = jnp.where(syncs[k], sts[k][0] + dd[k], js[k])
+
+            # seed candidate (+ rare contest escalation)
+            s_len = [jnp.where(sf_u[k], lmax_u[k], 0) for k in range(K)]
+            s_pos = [jnp.where(sf_u[k],
+                               (ws[k]["b0"] + brel_u[k]) if ws is not None
+                               else jnp.int32(0), 0) for k in range(K)]
+            if ws is not None:
+                any_cap = sync_att[0] & has_cap[0]
+                for k in range(1, K):
+                    any_cap = any_cap | (sync_att[k] & has_cap[k])
+
+                def run_contests(sp):
+                    sl, spp = list(sp[0]), list(sp[1])
+                    for k in range(K):
+                        def one(_, k=k):
+                            return contest_one(
+                                k, ws[k], dd[k], i_evs[k],
+                                sts[k][1] + dd[k], sf_u[k], lmax_u[k],
+                                s_pos[k])
+
+                        sl[k], spp[k] = jax.lax.cond(
+                            sync_att[k] & has_cap[k], one,
+                            lambda _, k=k: (sl[k], spp[k]), None)
+                    return tuple(sl), tuple(spp)
+
+                s_len, s_pos = jax.lax.cond(
+                    any_cap, run_contests, lambda sp: sp,
+                    (tuple(s_len), tuple(s_pos)))
+                s_len, s_pos = list(s_len), list(s_pos)
+
+            # anchor resolve (SIMT; shared cond skips event-free iters)
+            needs = [(sync_att[k] & has_anch[k]) | desy_att[k]
+                     for k in range(K)]
+            any_need = needs[0]
+            for k in range(1, K):
+                any_need = any_need | needs[k]
+            a_len, a_pos = jax.lax.cond(
+                any_need,
+                lambda _: simt_anchor_all(i_evs, needs),
+                lambda _: ([jnp.int32(0)] * K, [jnp.int32(0)] * K),
+                None)
+
+            # WIN arbitration — always-issued clamped probes
+            take_a = [None] * K
+            good = [None] * K
+            bl = [None] * K
+            bp = [None] * K
+            for k in range(K):
+                alc = jnp.minimum(a_len[k], SAT) - mal
+                slc = jnp.minimum(s_len[k], SAT) - msl
+                lr_ev = sts[k][2] + dd[k]
+                widx = jnp.clip((alc * NS + slc) * NL + lr_ev,
+                                0, WIDX_MAX)
+                word = vext_r(win, 0, widx >> 5)
+                arb = ((word >> (widx & 31)) & 1) > 0
+                s_found = sf_u[k] | has_cap[k]
+                ta = ((a_pos[k] != 0)
+                      & (arb | ~(s_found & (s_pos[k] != 0))))
+                take_a[k] = ta
+                good_sync = sync_att[k] & (ta | s_found)
+                good[k] = good_sync | desy_att[k]
+                bl_s = jnp.where(ta, a_len[k], s_len[k])
+                bp_s = jnp.where(ta, a_pos[k], s_pos[k])
+                bl[k] = jnp.where(syncs[k], bl_s, a_len[k])
+                bp[k] = jnp.where(syncs[k], bp_s, a_pos[k])
+
+            any_good = good[0]
+            for k in range(1, K):
+                any_good = any_good | good[k]
+
+            # apply_match, predicated across all K (shared cond skips
+            # event-free iterations entirely)
+            def apply_all(_):
+                lit_ev = [sts[k][2] + (i_evs[k] - sts[k][0])
+                          for k in range(K)]
+                pred_ev = [sts[k][1] + (i_evs[k] - sts[k][0])
+                           for k in range(K)]
+                close = [(pred_ev[k] >= 0)
+                         & (jnp.abs(bp[k] - pred_ev[k]) <= mrd)
+                         for k in range(K)]
+                tl = [None] * K
+                need_bwd = [None] * K
+                for k in range(K):
+                    t = jnp.where(lit_ev[k] > 0, lit_ev[k], sts[k][5])
+                    do_kill = ((sts[k][3] >= 0)
+                               & (sts[k][4] - sts[k][3] < reg))
+                    run_len = (i_evs[k] - sts[k][3]) + sts[k][6]
+                    tl[k] = jnp.where(do_kill, run_len, t)
+                    need_bwd[k] = good[k] & (~close[k]) & (tl[k] > 0)
+
+                # --- backward ext: first chunks alternated, rare rest
+                b_tot = [jnp.where(
+                    need_bwd[k],
+                    jnp.minimum(jnp.minimum(i_evs[k], bp[k]), tl[k]), 0)
+                    for k in range(K)]
+                b_miss = [ext_load_miss(k, i_evs[k], bp[k],
+                                        jnp.int32(0), False)
+                          for k in range(K)]
+                b_first = [ext_first_reduce(b_miss[k], b_tot[k], False)
+                           for k in range(K)]
+                any_bmore = None
+                for k in range(K):
+                    m = need_bwd[k] & ~b_first[k][1] & (b_tot[k] > 128)
+                    any_bmore = m if any_bmore is None else (any_bmore | m)
+
+                def bwd_more(_):
+                    out = []
+                    for k in range(K):
+                        def cont(_, k=k):
+                            return ext_continue(
+                                k, i_evs[k], bp[k], b_tot[k],
+                                b_first[k][2], b_first[k][3],
+                                b_first[k][0], False)
+
+                        out.append(jax.lax.cond(
+                            need_bwd[k] & ~b_first[k][1]
+                            & (b_tot[k] > 128),
+                            cont, lambda _, k=k: b_first[k][0], None))
+                    return tuple(out)
+
+                bwd = jax.lax.cond(
+                    any_bmore, bwd_more,
+                    lambda _: tuple(b_first[k][0] for k in range(K)),
+                    None)
+                bwd = [jnp.where(need_bwd[k], bwd[k], 0)
+                       for k in range(K)]
+
+                # --- forward ext: first chunks alternated, rare rest
+                i2 = [i_evs[k] + bl[k] for k in range(K)]
+                pred2 = [bp[k] + bl[k] for k in range(K)]
+                f_tot = [jnp.where(
+                    good[k],
+                    jnp.minimum(dszs[k] - i2[k], nr - pred2[k]), 0)
+                    for k in range(K)]
+                f_tot = [jnp.maximum(f_tot[k], 0) for k in range(K)]
+                f_miss = [ext_load_miss(k, i2[k], pred2[k],
+                                        jnp.int32(0), True)
+                          for k in range(K)]
+                f_first = [ext_first_reduce(f_miss[k], f_tot[k], True)
+                           for k in range(K)]
+                any_fmore = None
+                for k in range(K):
+                    m = good[k] & ~f_first[k][1] & (f_tot[k] > CEF)
+                    any_fmore = m if any_fmore is None else (any_fmore | m)
+
+                def fwd_more(_):
+                    out = []
+                    for k in range(K):
+                        def cont(_, k=k):
+                            return ext_continue(
+                                k, i2[k], pred2[k], f_tot[k],
+                                f_first[k][2], f_first[k][3],
+                                f_first[k][0], True)
+
+                        out.append(jax.lax.cond(
+                            good[k] & ~f_first[k][1] & (f_tot[k] > CEF),
+                            cont, lambda _, k=k: f_first[k][0], None))
+                    return tuple(out)
+
+                ext = jax.lax.cond(
+                    any_fmore, fwd_more,
+                    lambda _: tuple(f_first[k][0] for k in range(K)),
+                    None)
+                ext = [jnp.where(good[k], ext[k], 0) for k in range(K)]
+
+                # --- emission (always-store; see log_event)
+                nes = []
+                pends = []
+                for k in range(K):
+                    ne2, pend2 = log_event(
+                        k, (sts[k][7], sts[k][8]), i_evs[k], bp[k],
+                        bl[k], bwd[k], ext[k], good[k])
+                    nes.append(ne2)
+                    pends.append(pend2)
+
+                # --- event outcome state
+                out = []
+                for k in range(K):
+                    use_bwd = bwd[k] > 0
+                    rl = jnp.where(use_bwd, i_evs[k] - bwd[k], i_evs[k])
+                    lb = jnp.where(use_bwd, tl[k] - bwd[k], tl[k])
+                    reg_lo2 = jnp.where(close[k], sts[k][3], rl)
+                    lit_below2 = jnp.where(close[k], sts[k][6], lb)
+                    i3 = i2[k] + ext[k]
+                    pred3 = pred2[k] + ext[k]
+                    out.append((i3, pred3, jnp.int32(0), reg_lo2, i3,
+                                jnp.int32(0), lit_below2, nes[k],
+                                pends[k], jnp.int32(0)))
+                return tuple(out)
+
+            def no_apply(_):
+                return tuple(sts[k] for k in range(K))
+
+            ev_states = jax.lax.cond(any_good, apply_all, no_apply, None)
+
+            # ---- final per-pair outcome merge (selects) -----------------
+            out = []
+            for k in range(K):
+                st = sts[k]
+                dsz = dszs[k]
+                # no-event window advance
+                if ws is not None:
+                    adv = ws[k]["D_eff"]
+                    new_lr = st[2] + adv
+                    desync = new_lr > mqd
+                    noev = (st[0] + adv, jnp.where(desync, -dsz,
+                                                   st[1] + adv),
+                            new_lr, st[3], st[4], st[5], st[6], st[7],
+                            st[8], jnp.int32(0))
+                else:
+                    noev = st
+                # desync to-end jump
+                delta = (dsz - msl) - st[0]
+                endst = (st[0] + delta, st[1] + delta, st[2] + delta,
+                         st[3], st[4], st[5], st[6], st[7], st[8],
+                         jnp.int32(0))
+                spurious = sync_att[k] & ~good[k]
+                noev_m = syncs[k] & acts[k] & ~sync_att[k]
+                slots = []
+                for s in range(10):
+                    v = jnp.where(
+                        good[k], ev_states[k][s],
+                        jnp.where(spurious,
+                                  (dd[k] + 1) if s == 9 else st[s],
+                                  jnp.where(noev_m, noev[s],
+                                            jnp.where(to_end[k], endst[s],
+                                                      st[s]))))
+                    slots.append(v)
+                out.append(tuple(slots))
+            return tuple(out)
+
+        # ---- the lockstep loop --------------------------------------------
+        def act_of(st, k):
+            return (st[0] + msl < dszs[k]) & (st[7] < MAXEV - 1)
+
+        def loop_cond(sts):
+            a = act_of(sts[0], 0)
+            for k in range(1, K):
+                a = a | act_of(sts[k], k)
+            return a
+
+        def body(sts):
+            acts = [act_of(sts[k], k) for k in range(K)]
+            syncs = [acts[k] & (sts[k][1] >= 0) for k in range(K)]
+            any_sync = syncs[0]
+            for k in range(1, K):
+                any_sync = any_sync | syncs[k]
+
+            def win_branch(sts):
+                ws = window_phase_all(sts)
+                return unified_tail(sts, ws, acts, syncs)
+
+            def desync_branch(sts):
+                return unified_tail(sts, None, acts, syncs)
+
+            return jax.lax.cond(any_sync, win_branch, desync_branch, sts)
+
+        init = tuple(
+            (jnp.int32(0), -dszs[k], jnp.int32(0), jnp.int32(-1),
+             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.zeros((1, 128), I32), jnp.int32(0))
+            for k in range(K))
+        finals = jax.lax.while_loop(loop_cond, body, init)
+
+        for k in range(K):
+            fk = finals[k]
+            ne, pend = fk[7], fk[8]
+
+            def flushp(_, k=k, ne=ne, pend=pend):
+                blk = ne // 16
+                ev_out[k:k + 1,
+                       pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+
+            jax.lax.cond(ne % 16 != 0, flushp, lambda _: None, None)
+            nev_out[k, 0] = jnp.where(fk[0] + msl < dszs[k], -1, ne)
+
+    return kernel
