@@ -203,7 +203,7 @@ def main() -> int:
                 if not os.environ.get("BENCH_SKIP_DISSIM"):
                     sys.path.insert(0, os.path.join(REPO, "scripts"))
                     import ab_dissimilar as _abd
-                    _abd.N = int(os.environ.get("BENCH_DISSIM_N", "300"))
+                    _abd.N = int(os.environ.get("BENCH_DISSIM_N", "500"))
                     dcodes = _abd.synth()
                     dn = len(dcodes)
                     dpairs = dn * (dn - 1)
@@ -212,9 +212,15 @@ def main() -> int:
                     d_hst = {}
                     d_hyb_out = None
                     # compile + program-load this set's shape buckets
-                    # (process-wide AOT memo; the timed hybrids then
-                    # warm up instantly and the device joins early)
-                    all2all_pallas(dcodes[:8], p)
+                    # at the SAME batch width the hybrid engine will use
+                    # (B = min(64, bucket(n)); an 8-genome warm builds a
+                    # B=8 program the 500-genome engine can't reuse —
+                    # measured: the in-run warm-up then compiles for
+                    # minutes and the device contributes zero pairs).
+                    # Primes the process-wide _get_group_step/_run_step_aot
+                    # memos, so the timed hybrids' dummy-group warm is
+                    # seconds and the device joins early.
+                    all2all_pallas(dcodes[:65], p)
                     for _ in range(2):
                         t0 = time.perf_counter()
                         native_engine.all2all(dcodes, p)
