@@ -795,6 +795,41 @@ struct Parser {
     }
 };
 
+// --------------------------------------------------------------------------
+// Three-in-byte packed storage codec (radix 216; byte = c0*36 + c1*6 + c2).
+// Host-arena parity with the reference reservoir (seq_reservoir.h:30-186,
+// packing seq_reservoir.cpp:22-58): the Python store keeps sequences packed
+// at 1/3 B per symbol and the all2all driver unpacks per reference row /
+// per query exactly like the reference's seq_view.unpack (parser.cpp:37-50).
+// --------------------------------------------------------------------------
+struct Pack3LUT {
+    uint8_t t[256][3];
+    Pack3LUT() {
+        for (int b = 0; b < 256; ++b) {
+            t[b][0] = (uint8_t)((b / 36) % 6);
+            t[b][1] = (uint8_t)((b / 6) % 6);
+            t[b][2] = (uint8_t)(b % 6);
+        }
+    }
+};
+static const Pack3LUT PACK3;
+
+static void unpack3_into(const uint8_t* packed, int64_t n_sym,
+                         std::vector<uint8_t>& out) {
+    out.resize((size_t)n_sym);
+    int64_t full = n_sym / 3;
+    uint8_t* o = out.data();
+    for (int64_t b = 0; b < full; ++b) {
+        const uint8_t* c = PACK3.t[packed[b]];
+        o[0] = c[0];
+        o[1] = c[1];
+        o[2] = c[2];
+        o += 3;
+    }
+    for (int64_t i = 3 * full; i < n_sym; ++i)
+        *o++ = PACK3.t[packed[i / 3]][i % 3];
+}
+
 }  // namespace lza
 
 // ============================================================================
@@ -985,12 +1020,19 @@ int64_t lza_parse_factors(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
 //                  pre-filter are skipped in the region dump
 //                  (lz_matcher.cpp:115-138)
 // Returns 0 on success.
-int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
-                    const int64_t* indptr, const int32_t* ids,
-                    const lza_cfg* cfg, int32_t n_threads, int32_t* out,
-                    const char* region_path, int32_t flt_enabled,
-                    double flt_gani, double flt_ani, double flt_qcov,
-                    int64_t* progress, int64_t* ext_next_row) {
+}  // extern "C" (template below needs C++ linkage)
+
+// Shared driver body: GetSeq is a callable (i, scratch) -> {ptr, len}
+// materializing sequence i (zero-copy for the unpacked layout; a per-worker
+// unpack for the packed arena — the reference's own per-row/per-pair unpack,
+// parser.cpp:37-50 via seq_view.unpack).
+template <class GetSeq>
+static int32_t all2all_run(GetSeq get_seq, int64_t n, const int64_t* indptr,
+                           const int32_t* ids, const lza_cfg* cfg,
+                           int32_t n_threads, int32_t* out,
+                           const char* region_path, int32_t flt_enabled,
+                           double flt_gani, double flt_ani, double flt_qcov,
+                           int64_t* progress, int64_t* ext_next_row) {
     // progress (optional, polled by the host): [0]=rows done, [1]=pairs done
     // ext_next_row (optional): external shared two-ended row queue packed
     // as {tail:32 | head:32} — when given, workers claim rows from the
@@ -1012,11 +1054,13 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
         lza::Parser p;
         std::vector<lza::Region> regs;
         std::vector<int32_t> rec;
+        std::vector<uint8_t> scratch;  // packed-arena unpack target
         while (true) {
             int64_t r = ext_next_row ? lza_claim_head(ext_next_row)
                                      : next_row.fetch_add(1);
             if (r < 0 || r >= n) break;
-            idx.build(seqs + offs[r], offs[r + 1] - offs[r], to_cfg(cfg));
+            auto [r_ptr, r_len] = get_seq(r, scratch);
+            idx.build(r_ptr, r_len, to_cfg(cfg));
             p.set_reference(idx);
 
             int64_t lo = indptr ? indptr[r] : 0;
@@ -1024,8 +1068,8 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
             for (int64_t e = lo; e < hi; ++e) {
                 int64_t q = indptr ? (int64_t)ids[e] : e;
                 if (!indptr && q == r) continue;
-                int64_t q_len = offs[q + 1] - offs[q];
-                p.set_query(seqs + offs[q], q_len);
+                auto [q_ptr, q_len] = get_seq(q, scratch);
+                p.set_query(q_ptr, q_len);
                 p.parse();
 
                 int64_t slot =
@@ -1076,6 +1120,48 @@ int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
     }
     if (rf) std::fclose(rf);
     return 0;
+}
+
+extern "C" {
+
+int32_t lza_all2all(const uint8_t* seqs, const int64_t* offs, int64_t n,
+                    const int64_t* indptr, const int32_t* ids,
+                    const lza_cfg* cfg, int32_t n_threads, int32_t* out,
+                    const char* region_path, int32_t flt_enabled,
+                    double flt_gani, double flt_ani, double flt_qcov,
+                    int64_t* progress, int64_t* ext_next_row) {
+    auto get_seq = [seqs, offs](int64_t i, std::vector<uint8_t>&)
+        -> std::pair<const uint8_t*, int64_t> {
+        return {seqs + offs[i], offs[i + 1] - offs[i]};
+    };
+    return all2all_run(get_seq, n, indptr, ids, cfg, n_threads, out,
+                       region_path, flt_enabled, flt_gani, flt_ani, flt_qcov,
+                       progress, ext_next_row);
+}
+
+// Packed-storage variant (U3 parity: memory_monotonic.h:137-184 +
+// seq_reservoir 3-in-byte density). Item i is ceil(slens[i]/3) packed
+// bytes at address ptrs[i] (uintptr_t) and decodes to slens[i] symbols;
+// workers unpack the reference once per row and each query per pair,
+// exactly the reference's own schedule (prepare_reference/prepare_data,
+// parser.cpp:16-50). A pointer table instead of one arena means the host
+// never materializes a concatenated copy.
+int32_t lza_all2all_packed(const uint64_t* ptrs, const int64_t* slens,
+                           int64_t n, const int64_t* indptr,
+                           const int32_t* ids, const lza_cfg* cfg,
+                           int32_t n_threads, int32_t* out,
+                           const char* region_path, int32_t flt_enabled,
+                           double flt_gani, double flt_ani, double flt_qcov,
+                           int64_t* progress, int64_t* ext_next_row) {
+    auto get_seq = [ptrs, slens](int64_t i, std::vector<uint8_t>& scratch)
+        -> std::pair<const uint8_t*, int64_t> {
+        lza::unpack3_into((const uint8_t*)(uintptr_t)ptrs[i], slens[i],
+                          scratch);
+        return {scratch.data(), slens[i]};
+    };
+    return all2all_run(get_seq, n, indptr, ids, cfg, n_threads, out,
+                       region_path, flt_enabled, flt_gani, flt_ani, flt_qcov,
+                       progress, ext_next_row);
 }
 
 // ----------------------------------------------------------------------------
@@ -1559,6 +1645,6 @@ int64_t lza_claim_tail(int64_t* ctr, int64_t k, int64_t* got) {
     }
 }
 
-int32_t lza_abi_version(void) { return 3; }
+int32_t lza_abi_version(void) { return 4; }
 
 }  // extern "C"

@@ -46,7 +46,7 @@ def get_lib():
         lib = ct.CDLL(_LIB)
 
         lib.lza_abi_version.restype = ct.c_int32
-        assert lib.lza_abi_version() == 3
+        assert lib.lza_abi_version() == 4
 
         lib.lza_parse_pair.restype = ct.c_int64
         lib.lza_parse_pair.argtypes = [
@@ -91,6 +91,14 @@ def get_lib():
         lib.lza_all2all.restype = ct.c_int32
         lib.lza_all2all.argtypes = [
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+            ct.POINTER(LzaCfg), ct.c_int32, ct.POINTER(ct.c_int32),
+            ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ]
+        lib.lza_all2all_packed.restype = ct.c_int32
+        lib.lza_all2all_packed.argtypes = [
+            ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_int64), ct.c_int64,
             ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
             ct.POINTER(LzaCfg), ct.c_int32, ct.POINTER(ct.c_int32),
             ct.c_char_p, ct.c_int32, ct.c_double, ct.c_double, ct.c_double,
@@ -318,11 +326,17 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
     lib = get_lib()
     cfg = make_cfg(params)
     n = len(codes)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    for i, c in enumerate(codes):
-        offs[i + 1] = offs[i] + len(c)
-    concat = np.concatenate(codes) if n else np.zeros(0, np.uint8)
-    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    from ..io.packing import PackedCodes
+    packed = isinstance(codes, PackedCodes)
+    if packed:
+        # zero-copy: workers unpack per row/query inside lzani_core
+        ptrs, slens = codes.ptrs, codes.slens
+    else:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        for i, c in enumerate(codes):
+            offs[i + 1] = offs[i] + len(c)
+        concat = np.concatenate(codes) if n else np.zeros(0, np.uint8)
+        concat = np.ascontiguousarray(concat, dtype=np.uint8)
 
     if filter_csr is not None:
         indptr, ids = filter_csr
@@ -340,8 +354,7 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
 
     flt = params.output_filter
     flt_enabled = 1 if flt else 0
-    rc = lib.lza_all2all(
-        _u8p(concat), offs.ctypes.data_as(ct.POINTER(ct.c_int64)), n,
+    common = (
         ip, idp, ct.byref(cfg), int(params.no_threads),
         out.ctypes.data_as(ct.POINTER(ct.c_int32)),
         region_path.encode() if region_path else None,
@@ -352,6 +365,14 @@ def all2all(codes: list[np.ndarray], params, filter_csr=None,
         ext_counter.ctypes.data_as(ct.POINTER(ct.c_int64))
         if ext_counter is not None else None,
     )
+    if packed:
+        rc = lib.lza_all2all_packed(
+            ptrs.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            slens.ctypes.data_as(ct.POINTER(ct.c_int64)), n, *common)
+    else:
+        rc = lib.lza_all2all(
+            _u8p(concat), offs.ctypes.data_as(ct.POINTER(ct.c_int64)), n,
+            *common)
     if rc != 0:
         raise RuntimeError(f"lza_all2all failed with code {rc}")
     return out
@@ -395,9 +416,12 @@ def format_results(out_path: str, params, store, triples: np.ndarray,
     comp_ids = np.array([COLUMN_IDS[c] for c in comps], np.int32)
     header = ("\t".join(comps) + "\n").encode("latin-1")
     mrd = params.max_dist_in_ref
+    slens = getattr(store, "lengths", None)
+    if slens is None:
+        slens = [len(c) for c in store.codes]
     lens = np.array(
-        [len(c) - (p - 1) * mrd
-         for c, p in zip(store.codes, store.no_parts)], np.int64)
+        [sl - (p - 1) * mrd
+         for sl, p in zip(slens, store.no_parts)], np.int64)
     name_bytes = [nm.encode("latin-1") for nm in store.names]
     names_blob = b"".join(name_bytes)
     name_offs = np.zeros(n + 1, np.int64)

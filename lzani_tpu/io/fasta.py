@@ -1,11 +1,14 @@
 """FASTA ingest and the in-memory sequence store.
 
 Replaces the reference's ``CSeqReservoir`` (/root/reference/src/seq_reservoir.{h,cpp}).
-We keep sequences as flat ``uint8`` code arrays (A=0, C=1, G=2, T=3, query-N=5;
-the reference's ref-N=4 substitution happens inside the engines) rather than the
-reference's 3-codes-per-byte arena — on TPU the packing that matters is the
-2-bit+mask device layout produced later by the ops layer, and on the host the
-unpacked array is what the native engine consumes directly.
+Sequences are encoded to 6-symbol codes (A=0, C=1, G=2, T=3, query-N=5; the
+reference's ref-N=4 substitution happens inside the engines) and held PACKED
+at the reference's 3-codes-per-byte density (seq_reservoir.cpp:22-58 +
+memory_monotonic.h:137-184 parity — 1/3 B per symbol). ``store.codes`` is a
+``PackedCodes`` view: list-like for the Python engines (items unpack
+transiently on access), zero-copy for the native all2all
+(``lza_all2all_packed`` unpacks per reference row / per query inside the
+worker, the reference's own schedule, parser.cpp:16-50).
 
 Semantics preserved:
   * DNA code map: ACGTacgt -> 0..3, everything else -> 5 (seq_reservoir.h:241-248)
@@ -23,9 +26,10 @@ from __future__ import annotations
 
 import gzip
 import os
-from dataclasses import dataclass, field
 
 import numpy as np
+
+from .packing import PackedCodes, pack3
 
 CODE_A, CODE_C, CODE_G, CODE_T = 0, 1, 2, 3
 CODE_N_REF = 4
@@ -76,46 +80,111 @@ def _record_spans(data: bytes):
         start = -1 if p < 0 else p + 1
 
 
+def _iter_records(fh, chunk: int = 32 << 20):
+    """Stream b'>hdr\\n<body>' records from a binary file object with
+    bounded memory (one chunk + one record). Content before the first
+    header is dropped — the same semantics as _record_spans; a '>' opens
+    a header only at the start of a line."""
+    buf = bytearray()
+    seen_header = False
+    while True:
+        data = fh.read(chunk)
+        if not data:
+            break
+        buf += data
+        if not seen_header:
+            if buf[:1] == b">":
+                seen_header = True
+            else:
+                p = buf.find(b"\n>")
+                if p < 0:
+                    del buf[:-1]  # keep 1 byte: "\n>" may span the boundary
+                    continue
+                del buf[:p + 1]
+                seen_header = True
+        while True:
+            p = buf.find(b"\n>")
+            if p < 0:
+                break
+            yield bytes(buf[:p + 1])
+            del buf[:p + 1]
+    if seen_header and buf:
+        yield bytes(buf)
+
+
 def _cut_at_space(name: str) -> str:
     p = name.find(" ")
     return name if p < 0 else name[:p]
 
 
-@dataclass
 class SequenceStore:
-    """Ordered collection of encoded sequences with names and lengths."""
+    """Ordered collection of encoded sequences with names and lengths.
 
-    names: list[str] = field(default_factory=list)
-    codes: list[np.ndarray] = field(default_factory=list)
-    no_parts: list[int] = field(default_factory=list)
+    Sequences are held PACKED at the reference's 3-codes-per-byte density
+    (U3 parity: memory_monotonic.h:137-184 + seq_reservoir.cpp:22-58 —
+    1/3 B per symbol instead of the 1 B unpacked array this store kept
+    through round 3). ``store.codes`` is a :class:`PackedCodes` view:
+    engines index/iterate it like a list (items unpack transiently), and
+    the native all2all consumes the arena zero-copy via
+    ``lza_all2all_packed``, unpacking per reference row / per query inside
+    the worker exactly like the reference (parser.cpp:16-50).
+    """
+
+    def __init__(self):
+        self.names: list[str] = []
+        self.no_parts: list[int] = []
+        self._packed: list[np.ndarray] = []   # per-item packed bytes
+        self._slens: list[int] = []
+        self._view: PackedCodes | None = None
 
     def __len__(self) -> int:
         return len(self.names)
 
     @property
     def lengths(self) -> list[int]:
-        return [len(c) for c in self.codes]
+        return list(self._slens)
+
+    @property
+    def codes(self) -> PackedCodes:
+        if self._view is None:
+            self._view = PackedCodes(
+                list(self._packed), np.array(self._slens, np.int64))
+        return self._view
+
+    @codes.setter
+    def codes(self, lst) -> None:
+        """Replace contents from a list of unpacked arrays (test hook)."""
+        self._packed = [pack3(np.ascontiguousarray(c, np.uint8))
+                        for c in lst]
+        self._slens = [len(c) for c in lst]
+        self._view = None
 
     def add(self, name: str, codes: np.ndarray) -> None:
         self.names.append(_cut_at_space(name))
-        self.codes.append(np.ascontiguousarray(codes, dtype=np.uint8))
+        c = np.ascontiguousarray(codes, dtype=np.uint8)
+        self._packed.append(pack3(c))
+        self._slens.append(len(c))
         self.no_parts.append(1)
+        self._view = None
 
     def load_multifasta(self, paths: list[str]) -> None:
         """One item per '>' record, named by its header. Bulk parser: one
-        Python iteration per RECORD, not per line (whole-file read, header
-        scan via bytes.find, newline strip via bytes.translate) — the
-        line loop the reference affords in C++ (seq_reservoir.cpp:156-212)
-        would dominate ingest at the 10k-genome scale in Python."""
+        Python iteration per RECORD, not per line (header scan via
+        bytes.find, newline strip via bytes.translate) — the line loop the
+        reference affords in C++ (seq_reservoir.cpp:156-212) would dominate
+        ingest at the 10k-genome scale in Python. Files stream in bounded
+        chunks so ingest RSS is (packed arena + one record), not the file."""
         for path in paths:
             with _open_bin(path) as fh:
-                data = fh.read()
-            for start, hdr_end, body_end in _record_spans(data):
-                name = data[start + 1:hdr_end].rstrip(b"\r").decode("latin-1")
-                if not name:
-                    continue  # reference: empty header never stored
-                body = data[hdr_end:body_end].translate(None, b"\r\n")
-                self.add(name, encode_dna(body))
+                for rec in _iter_records(fh):
+                    hdr_end = rec.find(b"\n")
+                    if hdr_end < 0:
+                        hdr_end = len(rec)
+                    name = rec[1:hdr_end].rstrip(b"\r").decode("latin-1")
+                    if not name:
+                        continue  # reference: empty header never stored
+                    body = rec[hdr_end:].translate(None, b"\r\n")
+                    self.add(name, encode_dna(body))
 
     def load_fasta_per_file(self, paths: list[str], sep_len: int) -> None:
         """One item per FILE; contigs joined with ``sep_len`` N-separators.
@@ -151,11 +220,14 @@ class SequenceStore:
         n = len(self)
         order = sorted(
             range(n),
-            key=lambda i: (-(len(self.codes[i]) - 2 * self.no_parts[i]), self.names[i].encode('latin-1'), i),
+            key=lambda i: (-(self._slens[i] - 2 * self.no_parts[i]),
+                           self.names[i].encode('latin-1'), i),
         )
         self.names = [self.names[i] for i in order]
-        self.codes = [self.codes[i] for i in order]
+        self._packed = [self._packed[i] for i in order]
+        self._slens = [self._slens[i] for i in order]
         self.no_parts = [self.no_parts[i] for i in order]
+        self._view = None
         remap = np.empty(n, dtype=np.uint32)
         for new_id, old_id in enumerate(order):
             remap[old_id] = new_id

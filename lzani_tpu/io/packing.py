@@ -41,6 +41,81 @@ def unpack3(packed: np.ndarray, n: int) -> np.ndarray:
     return _LUT[packed].reshape(-1)[:n].copy()
 
 
+class PackedCodes:
+    """List-like view over per-item 3-in-byte packed chunks (U3 parity:
+    memory_monotonic.h:137-184 + the reservoir's packed density).
+
+    ``codes[i]`` unpacks on demand (tiny thread-safe MRU memo — the hybrid
+    finalizer touches the same reference for many pairs in a row); the
+    native engine consumes the per-item pointer table zero-copy via
+    ``lza_all2all_packed`` (no concatenated arena is ever materialized, so
+    ingest peak RSS is the packed bytes plus one transient record).
+    Slicing returns a sub-view sharing the chunks.
+    """
+
+    __slots__ = ("chunks", "slens", "_ptrs", "_memo", "_lock")
+
+    _MEMO_CAP = 8
+
+    def __init__(self, chunks: list, slens: np.ndarray):
+        self.chunks = chunks
+        self.slens = np.ascontiguousarray(slens, np.int64)
+        self._ptrs = None
+        self._memo: dict[int, np.ndarray] = {}
+        import threading
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.slens)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.chunks)
+
+    @property
+    def ptrs(self) -> np.ndarray:
+        """uint64 per-item data pointers for the native engine."""
+        if self._ptrs is None:
+            self._ptrs = np.array(
+                [c.ctypes.data for c in self.chunks], np.uint64)
+        return self._ptrs
+
+    def seq_len(self, i: int) -> int:
+        """O(1) symbol length (no unpack)."""
+        return int(self.slens[i])
+
+    def _unpack(self, i: int) -> np.ndarray:
+        return unpack3(self.chunks[i], int(self.slens[i]))
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return PackedCodes(self.chunks[i], self.slens[i])
+        if i < 0:
+            i += len(self.slens)
+        with self._lock:
+            c = self._memo.get(i)
+            if c is not None:
+                return c
+        c = self._unpack(i)
+        with self._lock:
+            if len(self._memo) >= self._MEMO_CAP:
+                self._memo.pop(next(iter(self._memo)))
+            self._memo[i] = c
+        return c
+
+    def __iter__(self):
+        # bulk iteration bypasses the memo (one transient unpack at a time)
+        for i in range(len(self.slens)):
+            yield self._unpack(i)
+
+
+def pack_items(codes_list) -> PackedCodes:
+    """Pack a list of uint8 code arrays into a PackedCodes view."""
+    chunks = [pack3(np.ascontiguousarray(c, np.uint8)) for c in codes_list]
+    slens = np.array([len(c) for c in codes_list], np.int64)
+    return PackedCodes(chunks, slens)
+
+
 class PackedSeq:
     """A packed sequence with transparent code access."""
 

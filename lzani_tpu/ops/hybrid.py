@@ -220,11 +220,13 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     depth = 2  # refined to 2*len(devices) once the warm thread resolves
     mrd = params.max_dist_in_ref
 
+    _seq_len = getattr(codes, "seq_len", None) or (lambda r: len(codes[r]))
+
     def fits(r):
         # fits() is only reached after warm-up succeeds, so the engine
         # module is already in sys.modules — this import is a dict hit
         from .pallas_engine import PallasAll2All
-        return 2 * len(codes[r]) + 3 * mrd <= PallasAll2All.MAX_REF_SYMS
+        return 2 * _seq_len(r) + 3 * mrd <= PallasAll2All.MAX_REF_SYMS
 
     def wanted_of(r):
         if filter_csr is None:

@@ -143,6 +143,25 @@ def lane_iota(n):
     return jax.lax.broadcasted_iota(I32, (1, n), 1)
 
 
+def align_load_r(ref, row, p, n):
+    """(1, n) slice of row `row` at dynamic offset p >= 0; n mult of 128.
+    Mosaic requires 128-aligned dynamic lane offsets: load the aligned
+    superset and roll (shared by the v5/v7 K-pair kernels)."""
+    base = (p // 128) * 128
+    rem = p - base
+    m = n + 128
+    blk = ref[row:row + 1, pl.ds(pl.multiple_of(base, 128), m)]
+    return pltpu.roll(blk, m - rem, 1)[0:1, :n]
+
+
+def vext_r(ref, row, p):
+    """Scalar ref[row, p] for dynamic p (aligned load + roll)."""
+    base = (p // 128) * 128
+    rem = p - base
+    blk = ref[row:row + 1, pl.ds(pl.multiple_of(base, 128), 128)]
+    return pltpu.roll(blk, 128 - rem, 1)[0, 0]
+
+
 def pack3_rows(codes: np.ndarray) -> np.ndarray:
     """(R, L) uint8 codes (values 0..5) -> (R, ceil(L/3)) radix-216 bytes,
     the io/packing.py three-in-byte layout (reference seq_reservoir.h
@@ -2297,10 +2316,14 @@ class PallasAll2All:
             sim = int(_os.environ.get("LZANI_TPU_SIM", "-1"))
         self.sim = int(sim)
         self.devices = list(devices) if devices else [None]
-        self.dszs = np.array([len(c) + cfg.mrd for c in codes], np.int32)
+        # O(1) per-item lengths on the packed store (no unpack passes)
+        slens = (np.asarray(codes.slens, np.int64)
+                 if hasattr(codes, "slens")
+                 else np.array([len(c) for c in codes], np.int64))
+        self.dszs = (slens + cfg.mrd).astype(np.int32)
         # run-wide reference buckets over the device-eligible refs: every
         # group dispatch then shares one executable (see PallasGroupIndex)
-        nr_all = [2 * len(c) + 3 * cfg.mrd for c in codes]
+        nr_all = (2 * slens + 3 * cfg.mrd).tolist()
         nr_ok = [v for v in nr_all if v <= self.MAX_REF_SYMS] or [4096]
         self.LrP_ref = _bucket(max(nr_ok) + 1024)
         self.KaP_ref = _bucket(max(nr_ok) + 256, lo=1024)

@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .anchor_tables import SAT
 from .parse import ParseCfg
 from .pallas_engine import (BIG, CAP, CEF, CH, I32, WCOLS, WROWS,
-                            lane_iota, reverse_lanes, to_col)
-from .pallas_v4 import align_load_r, vext_r
+                            lane_iota, reverse_lanes, to_col,
+                            align_load_r, vext_r)
 
 __all__ = ["make_parse_kernel_sim"]
 

@@ -73,10 +73,17 @@ class ResultMatrix:
         return self._first[r][q]
 
 
+def _store_lengths(store) -> list[int]:
+    """Symbol lengths without unpacking the packed store (O(1) per item)."""
+    ls = getattr(store, "lengths", None)
+    return list(ls) if ls is not None else [len(c) for c in store.codes]
+
+
 def ids_file_lines(store, mrd: int) -> list[str]:
     lines = ["id\tseq_len\tno_parts\n"]
-    for name, codes, parts in zip(store.names, store.codes, store.no_parts):
-        seq_len = len(codes) - (parts - 1) * mrd
+    for name, slen, parts in zip(store.names, _store_lengths(store),
+                                 store.no_parts):
+        seq_len = slen - (parts - 1) * mrd
         lines.append(f"{name}\t{seq_len}\t{parts}\n")
     return lines
 
@@ -103,8 +110,8 @@ def results_tsv_lines(params, store, rm: ResultMatrix) -> list[str]:
 
     mrd = params.max_dist_in_ref
     names = store.names
-    lens = [len(c) - (p - 1) * mrd
-            for c, p in zip(store.codes, store.no_parts)]
+    lens = [sl - (p - 1) * mrd
+            for sl, p in zip(_store_lengths(store), store.no_parts)]
 
     lines = ["\t".join(comps) + "\n"]
 
@@ -183,8 +190,9 @@ def single_txt_lines(params, store, rm: ResultMatrix) -> list[str]:
     lines.append("[no_input_sequences]\n")
     lines.append(f"{len(store)}\n")
     lines.append("[input_sequences]\n")
-    for name, codes, parts in zip(store.names, store.codes, store.no_parts):
-        lines.append(f"{name} {len(codes) - (parts - 1) * mrd} {parts}\n")
+    for name, slen, parts in zip(store.names, _store_lengths(store),
+                                 store.no_parts):
+        lines.append(f"{name} {slen - (parts - 1) * mrd} {parts}\n")
     lines.append("[lz_similarities]\n")
     for r in range(rm.n):
         for q, qm, ql, qc in rm.row_entries_above(r):
@@ -200,11 +208,12 @@ def alignment_lines(params, store, region_iter) -> list[str]:
     (mirroring lz_matcher.cpp:115-138); records arriving here are emitted.
     """
     mrd = params.max_dist_in_ref
+    lens = _store_lengths(store)
     lines = []
     for r, q, regs in region_iter:
         s1 = store.names[r]
         s2 = store.names[q]
-        len1 = len(store.codes[r])
+        len1 = lens[r]
         rc_corr = 2 * len1 + 2 * mrd + 1
         for ref_lo, ref_hi, q_lo, q_hi, n_match, n_mis in regs.tolist():
             length = q_hi - q_lo

@@ -68,3 +68,56 @@ def test_params_format_grammar():
         p.set_output_filter("len_ratio", 0.5)
     p.set_output_filter("tani", "0.7")
     assert p.output_filter == {"tani": 0.7}
+
+
+def test_packed_store_native_engine_identical():
+    """U3: the packed-arena native path (lza_all2all_packed) must be
+    byte-identical to the legacy unpacked path on the same random set."""
+    import numpy as np
+    from lzani_tpu.core import native_engine
+    from lzani_tpu.io.packing import pack_items
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 4, 4000).astype(np.uint8)
+    codes = []
+    for _ in range(10):
+        c = base.copy()
+        idx = rng.choice(len(c), 200, replace=False)
+        c[idx] = rng.randint(0, 4, 200)
+        # sprinkle Ns (code 5) to exercise the 6-symbol alphabet
+        c[rng.choice(len(c), 7, replace=False)] = 5
+        codes.append(c[: rng.randint(3000, 4000)])
+    p = Params()
+    p.no_threads = 2
+    dense_unpacked = native_engine.all2all(codes, p)
+    dense_packed = native_engine.all2all(pack_items(codes), p)
+    assert np.array_equal(dense_unpacked, dense_packed)
+    # filter-CSR mode through both paths
+    indptr = np.array([0, 3] + [3] * 9, np.int64)
+    ids = np.array([1, 2, 3], np.int32)
+    f_unpacked = native_engine.all2all(codes, p, filter_csr=(indptr, ids))
+    f_packed = native_engine.all2all(pack_items(codes), p,
+                                     filter_csr=(indptr, ids))
+    assert np.array_equal(f_unpacked, f_packed)
+
+
+def test_packed_codes_view_semantics():
+    import numpy as np
+    from lzani_tpu.io.packing import pack_items
+
+    rng = np.random.RandomState(3)
+    codes = [rng.randint(0, 6, int(n)).astype(np.uint8)
+             for n in (1, 2, 3, 4, 1000, 0)]
+    pc = pack_items(codes)
+    assert len(pc) == 6
+    for i, c in enumerate(codes):
+        assert np.array_equal(pc[i], c)
+        assert pc.seq_len(i) == len(c)
+    # iteration and slicing
+    for got, want in zip(pc, codes):
+        assert np.array_equal(got, want)
+    sub = pc[2:5]
+    assert len(sub) == 3
+    assert np.array_equal(sub[1], codes[3])
+    # negative index
+    assert np.array_equal(pc[-2], codes[4])
