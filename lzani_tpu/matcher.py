@@ -219,14 +219,10 @@ class Matcher:
             _enable_compile_cache()
             from .ops.pallas_engine import all2all_pallas
             prog_cb = self._make_progress_cb()
-            # LZANI_TPU_KPAIR>1 selects the experimental v4 lockstep
-            # kernel (ops/pallas_v4.py; measured slower on vir61 — see
-            # ops/DESIGN.md round-2 notes)
-            kpair = int(os.environ.get("LZANI_TPU_KPAIR", "1"))
             triples = all2all_pallas(self.store.codes, p,
                                      filter_csr=eng_csr,
                                      region_path=eng_region,
-                                     progress=prog_cb, kpair=kpair)
+                                     progress=prog_cb)
         elif backend == "jax":
             _enable_compile_cache()
             if region_path:

@@ -1025,8 +1025,8 @@ def _code_salt() -> str:
 
     h = hashlib.sha1()
     base = _os.path.dirname(_os.path.abspath(__file__))
-    for name in ("pallas_engine.py", "pallas_v4.py", "pallas_v5.py",
-                 "pallas_v6.py", "pallas_v7.py", "anchor_tables.py", "parse.py", "prep.py"):
+    for name in ("pallas_engine.py", "pallas_v5.py", "pallas_v7.py",
+                 "anchor_tables.py", "parse.py", "prep.py"):
         try:
             with open(_os.path.join(base, name), "rb") as fh:
                 h.update(fh.read())
@@ -1338,9 +1338,8 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
-                   interpret: bool = False, kpair: int | None = None,
-                   ilv: int | None = None, spec: bool | None = None,
-                   sim: bool | None = None):
+                   interpret: bool = False,
+                   ilv: int | None = None, sim: bool | None = None):
     """All-vs-all triples via the device kernel; layout matches
     native_engine.all2all. The kernel produces event logs; the native
     replay reconstructs exact stats (and cross-checks extensions).
@@ -1382,8 +1381,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
         # own chips (jax.devices() would span non-addressable ones)
         devices = jax.local_devices()[:1]
     eng = PallasAll2All(codes, params, devices=devices,
-                        interpret=interpret, kpair=kpair, ilv=ilv,
-                        spec=spec, sim=sim)
+                        interpret=interpret, ilv=ilv, sim=sim)
     # enumerate work units (ref, range) and their wanted query slots
     # composite buffer too large for the kernel's VMEM budget -> the whole
     # reference row runs on the native engine (correctness never at risk)
@@ -1394,11 +1392,9 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     # per-dispatch round trip and the per-dispatch query prep across G
     # references. The final group is padded with cheap dummy refs (r=-1)
     # rather than compiling a remainder-G executable: loading a program
-    # onto the device costs ~1 min through the tunnel. kpair>1 (the v4
-    # lockstep kernel) keeps single-ref dispatches.
-    use_group = eng.kpair == 1
-    GROUP = (max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
-             if use_group else 1)
+    # onto the device costs ~1 min through the tunnel.
+    use_group = True
+    GROUP = max(1, int(os.environ.get("LZANI_TPU_GROUP", "4")))
     mrd = params.max_dist_in_ref
 
     # long-genome routing: refs above the VMEM budget (or every device
@@ -1892,23 +1888,18 @@ class PallasGroupIndex:
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
-                    ilv: int = 1, spec: bool = False,
-                    sim: bool = False):
+                    ilv: int = 1, sim: bool = False):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
-    kernel program on a (G, B//ilv) grid (ops/pallas_v5.py). spec swaps
-    in the v6 speculative-next-window kernel (ops/pallas_v6.py, same
-    block contract) at the same interleave width."""
+    kernel program on a (G, B//ilv) grid (ops/pallas_v5.py); sim swaps
+    in the v7 predicated-SIMT-tail kernel (ops/pallas_v7.py, same block
+    contract) at the same interleave width — the production default."""
     EvL = PallasRefIndex.MAXEV * 8
     if sim:
         from .pallas_v7 import make_parse_kernel_sim
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
-    elif spec:
-        from .pallas_v6 import make_parse_kernel_spec
-        assert B % ilv == 0, (B, ilv)
-        kern = make_parse_kernel_spec(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
     elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
@@ -1981,7 +1972,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                 .at[:, :, 0].set(dsz[None, :])
                 .at[:, :, 1].set(nrs[:, None]))
         # --- kernel: (G, B) grid, query index innermost -------------------
-        if ilv > 1 or spec or sim:
+        if ilv > 1 or sim:
             # ilv gets its OWN (fully-covered) dimension: Mosaic requires
             # sublane block dims divisible by 8 or equal to the array dim
             Bi = B // ilv
@@ -2083,19 +2074,13 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
 @lru_cache(maxsize=32)
 def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                   B: int, cnt_cap: int, ev_cap: int, interpret: bool,
-                  kpair: int = 1, LqPrep: int | None = None):
+                  LqPrep: int | None = None):
     """One fused jit per (shape bucket): device join build + query prep +
     the pallas kernel + download-size reduction — a single dispatch per
-    reference batch.  kpair > 1 selects the v4 lockstep kernel
-    (ops/pallas_v4.py): K queries interleaved per kernel program, grid
-    B/K — amortizing per-step fixed costs across pairs."""
+    reference batch (the v3 single-query program; the group path above
+    carries the production v7/v5 kernels)."""
     EvL = PallasRefIndex.MAXEV * 8
-    if kpair > 1:
-        from .pallas_v4 import make_parse_kernel_k
-        assert B % kpair == 0, (B, kpair)
-        kern = make_parse_kernel_k(cfg, LrP, LqP, KaP, WinP, EvL, kpair)
-    else:
-        kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
+    kern = make_parse_kernel(cfg, LrP, LqP, KaP, WinP, EvL)
     mal, msl = cfg.mal, cfg.msl
     nk = 1 << (2 * mal)
 
@@ -2163,80 +2148,38 @@ def _get_ref_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
             nhm = jnp.concatenate([nhm, jnp.zeros((B, pad), jnp.int32)],
                                   axis=1)
         # --- kernel -------------------------------------------------------
-        if kpair > 1:
-            perk = lambda b: (b, 0)
-            RS = kpair * QROWS
-            ev, nev = pl.pallas_call(
-                kern,
-                grid=(B // kpair,),
-                scratch_shapes=[
-                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # EALL
-                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # GEOALL (+anchor)
-                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # DISTALL
-                    pltpu.VMEM((RS, RCOLS), jnp.int32),  # SALL
-                    pltpu.VMEM((RS, 128), jnp.int32),    # PCK
-                ],
-                out_shape=(jax.ShapeDtypeStruct((B, EvL), jnp.int32),
-                           jax.ShapeDtypeStruct((B, 1), jnp.int32)),
-                in_specs=[
-                    pl.BlockSpec((kpair, 128), perk,
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, LrP), shared,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((kpair, LqP), perk,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, KaP), shared,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((kpair, LqP), perk,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((kpair, LqP), perk,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, WinP), shared,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((128, 512), shared,
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=(pl.BlockSpec((kpair, EvL), perk,
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((kpair, 1), perk,
-                                        memory_space=pltpu.SMEM)),
-                interpret=interpret,
-            )(scal, refbuf, qsel, poslist, cd, nhm, win, cmat)
-            ev2 = ev
-            nev_flat = nev[:, 0]
-        else:
-            ev, nev = pl.pallas_call(
-                kern,
-                grid=(B,),
-                out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
-                           jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
-                in_specs=[
-                    pl.BlockSpec((None, 1, 128), perq,
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((None, 1, LqP), perq,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((None, 1, LqP), perq,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((None, 1, LqP), perq,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((128, 512), shared,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((CEF, 2 * CEF), shared,
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=(pl.BlockSpec((None, 1, EvL), perq,
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((None, 1, 1), perq,
-                                        memory_space=pltpu.SMEM)),
-                interpret=interpret,
-            )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
-              cd[:, None, :], nhm[:, None, :], win, cmat,
-              jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
-            ev2 = ev[:, 0, :]
-            nev_flat = nev[:, 0, 0]
+        ev, nev = pl.pallas_call(
+            kern,
+            grid=(B,),
+            out_shape=(jax.ShapeDtypeStruct((B, 1, EvL), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+            in_specs=[
+                pl.BlockSpec((None, 1, 128), perq,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LrP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, KaP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, LqP), perq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, WinP), shared, memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 512), shared,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CEF, 2 * CEF), shared,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((None, 1, EvL), perq,
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((None, 1, 1), perq,
+                                    memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(scal[:, None, :], refbuf, qsel[:, None, :], poslist,
+          cd[:, None, :], nhm[:, None, :], win, cmat,
+          jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
+        ev2 = ev[:, 0, :]
+        nev_flat = nev[:, 0, 0]
         if LqP <= (1 << 16):
             # all of {i_ev, blen, bwd, ext} < dsz < 2^16: pack each record
             # into 3 int32 on device — the tunnel/host link moves 2.7x
@@ -2264,28 +2207,28 @@ class PallasAll2All:
     #: VMEM-resident kernels (-> the big path below, else native)
     MAX_REF_SYMS = 700_000
 
-    #: composite-symbol budget of the HBM-resident big kernel (~8.3 Mb
-    #: genomes; int32 position fields and the per-dispatch prep arrays
-    #: set the bound). Above it the row runs on the native engine.
-    MAX_BIG_SYMS = 1 << 24
+    #: composite-symbol budget of the HBM-resident big kernel (~16.7 Mb
+    #: genomes — covers BASELINE.json configs[4]'s 2-10 Mb bacterial
+    #: envelope with margin; composite = 2*len + 3*mrd, parser.cpp:16-34
+    #: is unbounded). int32 position fields bound it well above this;
+    #: the practical cost is the per-dispatch HBM prep arrays
+    #: (3 sort planes x LrP_big x 4 B = ~400 MB at 2^25). Above it the
+    #: row runs on the native engine. Round-3 value was 1 << 24 (~8.3 Mb),
+    #: which silently excluded the top of the stated bacterial envelope.
+    MAX_BIG_SYMS = 1 << 25
 
     #: the small kernels keep (ilv, LqP) int32 query blocks in VMEM;
     #: above this bucket every device row routes through the big kernel
     MAX_Q_VMEM = 1 << 19
 
-    #: queries interleaved per kernel program (v4 lockstep kernel when >1)
-    KPAIR = 1
-
     def __init__(self, codes, params, devices=None, interpret=False,
-                 kpair: int | None = None, ilv: int | None = None,
-                 spec: bool | None = None, sim: bool | None = None):
+                 ilv: int | None = None, sim: bool | None = None):
         self.codes = codes
         self.params = params
         self.interpret = interpret
         self.cfg = ParseCfg.from_params(params)
         cfg = self.cfg
         n = len(codes)
-        self.kpair = self.KPAIR if kpair is None else kpair
         # v5 latency-interleave width for the GROUP path (queries per
         # kernel program; ops/pallas_v5.py). Env override for A/B runs;
         # 0/None = auto (resolved after LqP below: ilv=2 measured +5%
@@ -2301,13 +2244,6 @@ class PallasAll2All:
                 f"LZANI_TPU_ILV/ilv must be a power of two >= 1 "
                 f"(got {ilv})")
         self.ilv = ilv
-        # v6 speculative-next-window kernel toggle (ops/pallas_v6.py):
-        # -1/None = auto (resolved after LqP below), 0 = force v5/v3,
-        # 1 = force v6 at the resolved interleave width.
-        if spec is None:
-            import os as _os
-            spec = int(_os.environ.get("LZANI_TPU_SPEC", "-1"))
-        self.spec = int(spec)
         # v7 predicated-SIMT-tail kernel toggle (ops/pallas_v7.py):
         # -1/None = auto (resolved after LqP below), 0 = off,
         # 1 = force v7 at the resolved interleave width.
@@ -2355,34 +2291,29 @@ class PallasAll2All:
         import os as _os
         bb = int(_os.environ.get("LZANI_TPU_BBIG", "0"))
         self.B_big = bb if bb > 0 else max(1, min(4, (1 << 23) // self.LqP))
-        if not self.ilv:
-            # auto: the v5 ilv=2 interleave measured >= v3 on every
-            # workload regime once timed with min-of-N (vir61 +5% over 5
-            # interleaved process runs; mixed dissimilar-heavy +3-6%;
-            # pure dissimilar +7% — scripts/ab_dissimilar.py; an early
-            # -56% reading was a single-shot tunnel artifact that did
-            # not reproduce). Auto stays inside the TPU-validated VMEM
-            # envelope; larger buckets keep the v3 single-query program.
-            self.ilv = 2 if self.LqP <= (1 << 18) else 1
-        if self.spec < 0:
-            # auto: ON inside the TPU-validated envelope — the v6
-            # speculative kernel beat the v5 incumbent on BOTH canonical
-            # workloads, min-of-N interleaved-process timed (round 3):
-            # vir61 0.694-0.704 s/group vs v5's 0.712 / v3's 0.739-0.755
-            # (3 process pairs), ab_dissimilar 608.8/621.6 pairs/s vs
-            # 595.8/601.5 (2 process pairs), byte-exact everywhere
-            # (interpret stress + TPU oracle 8/8).
-            self.spec = 1 if self.LqP <= (1 << 18) else 0
-        self.spec = bool(self.spec)
         if self.sim < 0:
-            # auto: pending the round-3 TPU A/B (see ops/DESIGN.md)
-            self.sim = 0
+            # auto: ON inside the TPU-validated VMEM envelope — the v7
+            # predicated-SIMT-tail kernel beat the v6 incumbent on BOTH
+            # canonical workloads, min-of-N interleaved-process timed
+            # (round 4, ops/DESIGN.md): vir61 0.601-0.603 s/group vs
+            # v6's 0.698-0.700 (+16%, two process pairs, oracle 8/8),
+            # ab_dissimilar 737.9 pairs/s vs 699.9 (+5.4%), byte-exact
+            # everywhere; larger buckets validated end-to-end by
+            # scripts/test_v7_buckets.py.
+            self.sim = 1 if self.LqP <= (1 << 18) else 0
         self.sim = bool(self.sim)
-        if self.sim:
-            self.spec = False   # v7 supersedes the v6 program when forced
+        if not self.ilv:
+            if self.sim:
+                # v7 interleave width: +16% at ilv=4 on vir61-likes with
+                # an ilv=8 plateau (0.603 -> 0.601); wider K doubles the
+                # per-program VMEM query residency, so auto takes 4 only
+                # at the small bucket and 2 up to the validated envelope.
+                self.ilv = 4 if self.LqP <= (1 << 16) else 2
+            else:
+                # v5/v3 path: ilv=2 measured >= v3 on every workload
+                # regime (round 2), inside the validated envelope only.
+                self.ilv = 2 if self.LqP <= (1 << 18) else 1
         self.B = min(64, _bucket(n, lo=8))      # contiguous batch rows
-        if self.kpair > 1:
-            self.B = max(self.B, self.kpair)    # grid needs B % K == 0
         if self.ilv > 1:
             self.B = max(self.B, self.ilv)      # grid needs B % ilv == 0
         n_pad = -(-n // self.B) * self.B
@@ -2433,11 +2364,11 @@ class PallasAll2All:
             idx = self.build_index(r, device)
         B = self.B
         key_parts = (cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP, B,
-                     self.CNT_CAP, self.EV_CAP, self.kpair, self.LqPrep)
+                     self.CNT_CAP, self.EV_CAP, self.LqPrep)
         with jax.enable_x64(False):
             step = _get_ref_step(cfg, idx.LrP, self.LqP, idx.KaP, idx.WinP,
                                  B, self.CNT_CAP, self.EV_CAP,
-                                 self.interpret, self.kpair, self.LqPrep)
+                                 self.interpret, self.LqPrep)
             args = (idx.refbuf_p, self.Q[device], np.int32(lo),
                     np.int32(idx.nr), self.DSZ[device], idx.win_flat,
                     idx.cmat)
@@ -2499,13 +2430,12 @@ class PallasAll2All:
         B = self.B
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
-                     self.LqPrep, self.ilv, self.spec, self.sim)
+                     self.LqPrep, self.ilv, self.sim)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
-                                   self.LqPrep, self.ilv, self.spec,
-                                   self.sim)
+                                   self.LqPrep, self.ilv, self.sim)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

@@ -143,11 +143,16 @@ def run_case(tc, seqs, flags, workdir, rng=None):
         outs.append(open(ref_out, "rb").read())
     if len(set(outs)) > 1:
         return "SKIP"
+    # LZANI_FUZZ_BACKEND=pallas routes the case through the device
+    # engines (small kernels or the HBM-resident big path, by shape) —
+    # used by the bacterial sweep to face the big kernel, not just the
+    # native engine, with random parameters (VERDICT r3 item 3)
+    backend = os.environ.get("LZANI_FUZZ_BACKEND", "native")
     r = subprocess.run([sys.executable, "-m", "lzani_tpu.cli", "all2all"]
                        + in_flags + ["--out", our_out,
                                      "--out-alignment", our_aln,
-                                     "--backend", "native"] + flags,
-                       capture_output=True, timeout=600, cwd="/root/repo")
+                                     "--backend", backend] + flags,
+                       capture_output=True, timeout=3000, cwd="/root/repo")
     if r.returncode != 0:
         return f"our cli failed: {r.stderr[-300:]}"
 

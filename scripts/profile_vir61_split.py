@@ -59,7 +59,7 @@ def main():
     with jax.enable_x64(False):
         step = pe._get_ref_step(cfg, idx.LrP, eng.LqP, idx.KaP, idx.WinP,
                                 eng.B, eng.CNT_CAP, eng.EV_CAP,
-                                False, eng.kpair, eng.LqPrep)
+                                False, eng.LqPrep)
 
         mal, msl = cfg.mal, cfg.msl
         nk = 1 << (2 * mal)

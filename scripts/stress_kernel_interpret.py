@@ -109,16 +109,11 @@ def main():
                  for _ in range(4)]
         codes.append(base[: L // 2].copy())
         want = ne.all2all(codes, pt)
-        for kp, ilv, spec, sim, tag in (
-                (1, 1, False, False, "v3"), (1, 2, False, False, "v5k2"),
-                (1, 4, False, False, "v5k4"),
-                (2, None, False, False, "v4k2"),
-                (4, None, False, False, "v4k4"),
-                (1, 1, True, False, "v6k1"), (1, 2, True, False, "v6k2"),
-                (1, 2, False, True, "v7k2"), (1, 4, False, True, "v7k4"),
-                (1, 8, False, True, "v7k8")):
-            got = all2all_pallas(codes, pt, interpret=True, kpair=kp,
-                                 ilv=ilv, spec=spec, sim=sim)
+        for ilv, sim, tag in (
+                (1, False, "v3"), (2, False, "v5k2"), (4, False, "v5k4"),
+                (2, True, "v7k2"), (4, True, "v7k4"), (8, True, "v7k8")):
+            got = all2all_pallas(codes, pt, interpret=True,
+                                 ilv=ilv, sim=sim)
             if np.array_equal(got, want):
                 print(f"driver trial {t} {tag}: OK", flush=True)
             else:

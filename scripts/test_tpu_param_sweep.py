@@ -12,7 +12,7 @@ through this tunnel), so the sweep is deliberately small: N_CASES
 vectors over one fixed genome set (similar + mutated + indels + Ns +
 unrelated + tandem-repeat + a half-length cut) inside a single shape
 bucket. Kernel variant = the shipping auto default (honors
-LZANI_TPU_SPEC / LZANI_TPU_ILV for A/B).
+LZANI_TPU_SIM / LZANI_TPU_ILV for A/B).
 
 Usage: python scripts/test_tpu_param_sweep.py [n_cases] [seed]
 Writes one summary JSON line; exits nonzero on any mismatch.
@@ -93,7 +93,7 @@ def main():
         "genomes": len(codes), "fails": len(fails),
         "fail_params": fails, "total_s": round(sum(times), 1),
         "backend": jax.devices()[0].platform,
-        "spec": os.environ.get("LZANI_TPU_SPEC", "auto"),
+        "sim": os.environ.get("LZANI_TPU_SIM", "auto"),
         "ilv": os.environ.get("LZANI_TPU_ILV", "auto")}), flush=True)
     return 1 if fails else 0
 
