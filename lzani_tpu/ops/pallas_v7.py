@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .anchor_tables import SAT
 from .parse import ParseCfg
+from . import pallas_engine as _pe
 from .pallas_engine import (BIG, CAP, CEF, CH, I32, WCOLS, WROWS,
                             lane_iota, reverse_lanes, to_col,
                             align_load_r, vext_r)
@@ -72,10 +73,17 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # always-issued arbitration probe; valid probes never exceed it)
     WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
 
+    # phase-doubling profile hooks (scripts/profile_v7_phases.py): each
+    # tag recomputes one phase with a runtime-zero perturbation and folds
+    # it in — bit-identical results, Mosaic can't DCE it, the timing
+    # delta attributes that phase's share of the iteration
+    PROF = _pe.PROF_DOUBLE
+
     def kernel(scal_ref, refbuf, qbuf, poslist, cand, next_hit, win, cmat,
                cmat2, ev_out, nev_out):
         nr = scal_ref[0, 1]
         dszs = [scal_ref[k, 0] for k in range(K)]
+        z = scal_ref[0, 7]  # runtime zero (scal lanes >= 2 ship 0)
 
         # ---- serial helpers for the RARE shared-cond paths (v5 verbatim,
         # row-indexed; see ops/pallas_v5.py for the per-line provenance)
@@ -208,6 +216,10 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             blk = ne // 16
             ev_out[k:k + 1,
                    pl.ds(pl.multiple_of(blk * 128, 128), 128)] = pend
+            if "v7store" in PROF:  # double the per-event block store
+                ev_out[k:k + 1,
+                       pl.ds(pl.multiple_of((blk + z) * 128, 128),
+                             128)] = pend
             ne2 = ne + jnp.where(good, 1, 0)
             pend = jnp.where(good & (ne2 % 16 == 0),
                              jnp.zeros((1, 128), I32), pend)
@@ -257,6 +269,21 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                             & (coli < WCOLS - step))
                     S[k] = S[k] + jnp.where(take, M2, 0)
                 step *= 2
+            if "v7win" in PROF:  # double the alternated S-chain
+                S2 = [(qcol[k] == pltpu.roll(rrow[k], WCOLS - z, 1)
+                       ).astype(I32) for k in range(K_)]
+                step = 1
+                while step < CAP:
+                    for k in range(K_):
+                        M2 = pltpu.roll(pltpu.roll(S2[k], WROWS - step, 0),
+                                        WCOLS - step, 1)
+                        take = ((S2[k] == step) & (rowi < WROWS - step)
+                                & (coli < WCOLS - step))
+                        S2[k] = S2[k] + jnp.where(take, M2, 0)
+                    step *= 2
+                # z == 0 -> the roll is a full cycle -> S2 == S; the min
+                # is an identity the compiler cannot prove
+                S = [jnp.minimum(S[k], S2[k]) for k in range(K_)]
             for k in range(K_):
                 w[k]["S"] = S[k]
                 w[k]["SgeM"] = S[k] >= msl
@@ -276,6 +303,13 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 R1[k] = jnp.max(
                     jnp.where(geo[k] & w[k]["SgeM"], Sbase[k] + tie[k],
                               -1), axis=1, keepdims=True)
+            if "v7red" in PROF:  # double the per-pair row reductions
+                for k in range(K_):
+                    R1b = jnp.max(
+                        jnp.where(geo[k] & w[k]["SgeM"],
+                                  Sbase[k] + tie[k] + z, -1),
+                        axis=1, keepdims=True)
+                    R1[k] = jnp.minimum(R1[k], R1b)
             packed = [None] * K_
             for k in range(K_):
                 cap_r = R1[k] >= (1 << 24)
@@ -296,6 +330,10 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 a_min = states[k][9]
                 w[k]["pk"] = jnp.min(jnp.where(di >= a_min, packed[k],
                                                BIG))
+                if "v7red" in PROF:  # double the pk scalar extracts
+                    pk2 = jnp.min(jnp.where(di >= a_min + z, packed[k],
+                                            BIG))
+                    w[k]["pk"] = jnp.minimum(w[k]["pk"], pk2)
                 w[k]["geo"] = geo[k]
                 w[k]["tie"] = tie[k]
             return w
@@ -393,6 +431,15 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 fms = [jnp.min(jnp.where((qbs[k] != rbs[k]),
                                          lane_iota(CH), CH))
                        for k in range(K)]
+                if "v7anchor" in PROF:  # double the LCE chunk round trip
+                    qb2 = [align_load_r(
+                        qbuf, k, jnp.where(lives[k],
+                                           i_evs[k] + ps[k][1] + z, 0),
+                        CH) for k in range(K)]
+                    fm2 = [jnp.min(jnp.where((qb2[k] != rbs[k]),
+                                             lane_iota(CH), CH))
+                           for k in range(K)]
+                    fms = [jnp.minimum(fms[k], fm2[k]) for k in range(K)]
                 out = []
                 for k in range(K):
                     c, off, blen, bpos, pc, cap = ps[k]
@@ -554,6 +601,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                           for k in range(K)]
                 b_first = [ext_first_reduce(b_miss[k], b_tot[k], False)
                            for k in range(K)]
+                if "v7ext" in PROF:  # double the bwd first chunks
+                    b2 = [ext_first_reduce(
+                        ext_load_miss(k, i_evs[k] + z, bp[k] + z,
+                                      jnp.int32(0), False),
+                        b_tot[k], False) for k in range(K)]
+                    b_first = [
+                        (jnp.minimum(b_first[k][0], b2[k][0]),
+                         b_first[k][1] & b2[k][1],
+                         b_first[k][2], b_first[k][3])
+                        for k in range(K)]
                 any_bmore = None
                 for k in range(K):
                     m = need_bwd[k] & ~b_first[k][1] & (b_tot[k] > 128)
@@ -594,6 +651,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                           for k in range(K)]
                 f_first = [ext_first_reduce(f_miss[k], f_tot[k], True)
                            for k in range(K)]
+                if "v7ext" in PROF:  # double the fwd first chunks
+                    f2 = [ext_first_reduce(
+                        ext_load_miss(k, i2[k] + z, pred2[k] + z,
+                                      jnp.int32(0), True),
+                        f_tot[k], True) for k in range(K)]
+                    f_first = [
+                        (jnp.minimum(f_first[k][0], f2[k][0]),
+                         f_first[k][1] & f2[k][1],
+                         f_first[k][2], f_first[k][3])
+                        for k in range(K)]
                 any_fmore = None
                 for k in range(K):
                     m = good[k] & ~f_first[k][1] & (f_tot[k] > CEF)
