@@ -72,6 +72,11 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # the WIN table's maximum legal index (clamp target for the
     # always-issued arbitration probe; valid probes never exceed it)
     WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
+    # forward-ext first-chunk width: the v7cef256 probe halves it (the
+    # (CEF, 2CEF) banded matmul is part of the profiled v7ext cluster;
+    # ext > 256 is 0.81%/event on vir61, so the extra continuations are
+    # cheap) — reads the top-left quadrants of the resident cmat2
+    CEFV = 256 if "v7cef256" in _pe.PROF_DOUBLE else CEF
 
     # phase-doubling profile hooks (scripts/profile_v7_phases.py): each
     # tag recomputes one phase with a runtime-zero perturbation and folds
@@ -109,7 +114,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # rare serial continuation (v5 ext_scan, restructured)
         def ext_load_miss(k, dpos, rpos, base, forward):
             if forward:
-                CE = CEF
+                CE = CEFV
                 qo = jnp.clip(dpos + base, 0, LqP - CE - 128)
                 ro = jnp.clip(rpos + base, 0, LrP - CE - 128)
                 qb = align_load_r(qbuf, k, qo, CE)
@@ -128,6 +133,30 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             return pltpu.roll(mr, CE - sh, 1)
 
         def ext_win_sums(m_eff, forward):
+            if forward and CEFV != CEF:
+                Waw = jax.lax.dot_general(
+                    m_eff.astype(jnp.float32), cmat2[0:CEFV, 0:CEFV],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(I32)
+                War = jax.lax.dot_general(
+                    m_eff.astype(jnp.float32),
+                    cmat2[0:CEFV, CEF:CEF + CEFV],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(I32)
+                return jnp.concatenate([Waw, War], axis=1)
+            if "v7extps" in PROF:
+                # log-step prefix-sum variant (A/B vs the MXU banded
+                # matmul): W[e] = P[e] - P[e-width], exact in int32
+                CE = CEF if forward else 128
+                io = lane_iota(CE)
+                P = m_eff
+                s = 1
+                while s < CE:
+                    P = P + jnp.where(io >= s, pltpu.roll(P, s, 1), 0)
+                    s *= 2
+                Waw = P - jnp.where(io >= aw, pltpu.roll(P, aw, 1), 0)
+                War = P - jnp.where(io >= ar, pltpu.roll(P, ar, 1), 0)
+                return jnp.concatenate([Waw, War], axis=1)
             return jax.lax.dot_general(
                 m_eff.astype(jnp.float32),
                 cmat2[:, :] if forward else cmat[:, 256:512],
@@ -137,7 +166,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         def ext_first_reduce(miss, total, forward):
             """First-chunk decision vectors -> (last_sc, done_sc, m_eff,
             last_v). Pure VPU work on an already-loaded miss vector."""
-            CE = CEF if forward else 128
+            CE = CEFV if forward else 128
             io = lane_iota(CE)
             nv = jnp.minimum(total, CE)
             valid = io < nv
@@ -157,7 +186,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         def ext_continue(k, dpos, rpos, total, m_eff, last_v, last_sc,
                          forward):
             """The rare multi-chunk continuation (v5 big_body verbatim)."""
-            CE = CEF if forward else 128
+            CE = CEFV if forward else 128
             io = lane_iota(CE)
 
             def big_body(st):
@@ -226,12 +255,37 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             return ne2, pend
 
         # ---- shared window constants (hoisted out of the loop) -----------
-        rowi = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
-        coli = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
+        # The S-chain must run on the FULL (WROWS, WCOLS) window (runway
+        # for CAP-length diagonal runs), but every REDUCE consumer —
+        # geo/tie masks, R1, the packed pk build, the contest — only
+        # reads rows < D (candidate offsets) and cols < W + D (the geo
+        # bound coli < off + mrd + rowi <= mqd + mrd + D - 1). Slicing
+        # the reduce cluster to (RR, RC) cuts its element work ~3.3x at
+        # defaults ((48,128) vs (80,256)); the round-4 phase profile
+        # attributes 17.9% of wall to exactly this cluster
+        # (scripts/profile_v7_phases.py v7red).
+        # Round-4 negative result (kept for the record): slicing the
+        # chain output S to the (ceil(D/8)*8, 128) region its reduce
+        # consumers actually read — a ~3.3x element shrink of the
+        # profiled-heaviest cluster (v7red, +17.9%) — is Mosaic-illegal
+        # in this toolchain: vector_extract_strided_slice_rule aborts
+        # (Check failed: limits[i] <= dim(i)) on both the lane slice
+        # (2^16-bucket (80,256) -> (48,128)) AND the sublane-only slice
+        # of the rolled S value. to_col outputs slice fine; rolled-chain
+        # outputs do not. Revisit when Mosaic's strided-slice layout
+        # support widens.
+        RR = WROWS
+        RC = WCOLS
+        rowiF = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
+        coliF = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
+        rowi = rowiF[:RR, :RC]
+        coli = coliF[:RR, :RC]
+        # per-cell saturation uses the FULL window dims (the chain ran
+        # there); slicing the precomputed matrix keeps values identical
         Scap = jnp.minimum(jnp.minimum(WROWS - rowi, WCOLS - coli), CAP)
         c511 = 511 - coli
         cmr = coli - rowi
-        di = jax.lax.broadcasted_iota(I32, (WROWS, 1), 0)
+        di = jax.lax.broadcasted_iota(I32, (RR, 1), 0)
         di23 = di << 23
 
         def window_phase_all(states):
@@ -257,7 +311,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             qcol = [to_col(qrow[k], cmat[:, 0:128])[:WROWS]
                     for k in range(K_)]
             anch_col = [to_col((cvec[k] > 0).astype(I32),
-                               cmat[:, 0:128])[:WROWS] for k in range(K_)]
+                               cmat[:, 0:128])[:RR] for k in range(K_)]
             E = [(qcol[k] == rrow[k]).astype(I32) for k in range(K_)]
             S = list(E)
             step = 1
@@ -265,8 +319,8 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 for k in range(K_):
                     M2 = pltpu.roll(pltpu.roll(S[k], WROWS - step, 0),
                                     WCOLS - step, 1)
-                    take = ((S[k] == step) & (rowi < WROWS - step)
-                            & (coli < WCOLS - step))
+                    take = ((S[k] == step) & (rowiF < WROWS - step)
+                            & (coliF < WCOLS - step))
                     S[k] = S[k] + jnp.where(take, M2, 0)
                 step *= 2
             if "v7win" in PROF:  # double the alternated S-chain
@@ -277,13 +331,15 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     for k in range(K_):
                         M2 = pltpu.roll(pltpu.roll(S2[k], WROWS - step, 0),
                                         WCOLS - step, 1)
-                        take = ((S2[k] == step) & (rowi < WROWS - step)
-                                & (coli < WCOLS - step))
+                        take = ((S2[k] == step) & (rowiF < WROWS - step)
+                                & (coliF < WCOLS - step))
                         S2[k] = S2[k] + jnp.where(take, M2, 0)
                     step *= 2
                 # z == 0 -> the roll is a full cycle -> S2 == S; the min
                 # is an identity the compiler cannot prove
                 S = [jnp.minimum(S[k], S2[k]) for k in range(K_)]
+            if RR < WROWS:  # see the RR/RC note above (Mosaic-blocked)
+                S = [S[k][:RR] for k in range(K_)]
             for k in range(K_):
                 w[k]["S"] = S[k]
                 w[k]["SgeM"] = S[k] >= msl
@@ -663,7 +719,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         for k in range(K)]
                 any_fmore = None
                 for k in range(K):
-                    m = good[k] & ~f_first[k][1] & (f_tot[k] > CEF)
+                    m = good[k] & ~f_first[k][1] & (f_tot[k] > CEFV)
                     any_fmore = m if any_fmore is None else (any_fmore | m)
 
                 def fwd_more(_):
@@ -676,7 +732,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                 f_first[k][0], True)
 
                         out.append(jax.lax.cond(
-                            good[k] & ~f_first[k][1] & (f_tot[k] > CEF),
+                            good[k] & ~f_first[k][1] & (f_tot[k] > CEFV),
                             cont, lambda _, k=k: f_first[k][0], None))
                     return tuple(out)
 
