@@ -306,6 +306,15 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
             import jax
 
             from .pallas_engine import PallasAll2All
+            from .pallas_engine import device_envelope_reason
+            env_why = device_envelope_reason(params)
+            if env_why is not None:
+                # out-of-envelope parameter sets run pure-native
+                # (policy, not a failure — all2all_pallas would only
+                # delegate back to the native engine anyway)
+                warm_state["ok"] = False
+                warm_state["why"] = f"envelope: {env_why}"
+                return
             with jax.enable_x64(False):
                 if devices is None:
                     devices = jax.local_devices()[:1]

@@ -62,6 +62,32 @@ CH = 512          # chunk for exact-LCE / extension scans
 EV_STRIDE = 8     # int32 per event record
 
 
+def device_envelope_reason(params) -> str | None:
+    """Human-readable reason when a parameter set falls outside the
+    compiled device-kernel envelope (the make_parse_kernel factory
+    asserts), or None when the device path is legal. The reference
+    parser has no such limits (parser.cpp:16-34 is unbounded), so
+    callers fall back to the native engine instead of erroring."""
+    cfg = ParseCfg.from_params(params)
+    D = cfg.mqd + 1
+    W = cfg.mqd + cfg.mrd
+    msl_eff = min(cfg.msl, CAP)
+    if max(cfg.mqd, cfg.mrd) > 127:
+        return (f"max ref/query distance > 127 (mrd={cfg.mrd}, "
+                f"mqd={cfg.mqd}) exceeds the 7-bit tie-pack field")
+    if D + msl_eff > WROWS or W + D + msl_eff > WCOLS:
+        return (f"window geometry needs ({D + msl_eff},"
+                f"{W + D + msl_eff}) > compiled ({WROWS},{WCOLS}) band "
+                f"(mqd={cfg.mqd}, mrd={cfg.mrd}, msl={cfg.msl})")
+    if not (1 <= cfg.aw <= 128 and 0 <= cfg.ar <= 128):
+        return (f"approx-extension params outside the 128-lane chunk "
+                f"(aw={cfg.aw}, ar={cfg.ar})")
+    if cfg.mal > 30:
+        return (f"min anchor length {cfg.mal} > 30: anchors no longer "
+                f"fit two 30-bit sort keys")
+    return None
+
+
 # ---------------------------------------------------------------------------
 # small vector helpers (all Mosaic-friendly: aligned loads + rolls + shifts)
 # ---------------------------------------------------------------------------
@@ -1363,6 +1389,37 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             print(msg, file=sys.stderr)
 
     from ..core import native_engine
+
+    reason = device_envelope_reason(params)
+    if reason is not None:
+        _warn(f"lz-ani-tpu: parameters outside the device kernel "
+              f"envelope ({reason}); this run uses the native engine "
+              f"(byte-identical output)")
+        n = len(codes)
+        total = (n * (n - 1) if filter_csr is None
+                 else len(filter_csr[1]))
+        prog = mon = stop = None
+        if progress is not None:
+            prog = np.zeros(2, dtype=np.int64)
+            stop = threading.Event()
+
+            def _pump():
+                while not stop.is_set():
+                    progress(int(prog[1]), total, int(prog[0]), n)
+                    stop.wait(0.2)
+
+            mon = threading.Thread(target=_pump, daemon=True)
+            mon.start()
+        try:
+            return native_engine.all2all(codes, params,
+                                         filter_csr=filter_csr,
+                                         region_path=region_path,
+                                         progress=prog)
+        finally:
+            if mon is not None:
+                stop.set()
+                mon.join()
+                progress(total, total, n, n)
 
     nthreads = replay_threads or max(2, (os.cpu_count() or 2) - 1)
     rf = open(region_path, "wb") if region_path else None

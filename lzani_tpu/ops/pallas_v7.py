@@ -76,7 +76,8 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # (CEF, 2CEF) banded matmul is part of the profiled v7ext cluster;
     # ext > 256 is 0.81%/event on vir61, so the extra continuations are
     # cheap) — reads the top-left quadrants of the resident cmat2
-    CEFV = 256 if "v7cef256" in _pe.PROF_DOUBLE else CEF
+    CEFV = (128 if "v7cef128" in _pe.PROF_DOUBLE
+            else 256 if "v7cef256" in _pe.PROF_DOUBLE else CEF)
 
     # phase-doubling profile hooks (scripts/profile_v7_phases.py): each
     # tag recomputes one phase with a runtime-zero perturbation and folds

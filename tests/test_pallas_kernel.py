@@ -256,3 +256,52 @@ def test_all2all_pallas_filter_path():
                             interpret=True)
     want = ne.all2all(codes, p, filter_csr=(indptr, ids))
     assert np.array_equal(out, want)
+
+
+def test_device_envelope_reason():
+    """Parameter sets the compiled window geometry cannot express are
+    detected up front (the reference parser has no such limits —
+    parser.cpp:16-34 — so these must route to the native engine, never
+    crash)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    assert pe.device_envelope_reason(Params()) is None
+    p = Params()
+    p.max_dist_in_query = 200          # > 7-bit tie-pack field
+    assert "127" in pe.device_envelope_reason(p)
+    p = Params()
+    p.max_dist_in_query = 100          # <= 127 but D+msl > WROWS
+    assert "window geometry" in pe.device_envelope_reason(p)
+    p = Params()
+    p.min_anchor_len = 31              # two-word sort keys overflow
+    assert "30" in pe.device_envelope_reason(p)
+    p = Params()
+    p.approx_window = 200              # ext chunk is 128 lanes
+    assert "128-lane" in pe.device_envelope_reason(p)
+
+
+def test_out_of_envelope_falls_back_to_native(capfd):
+    """--backend pallas with out-of-envelope params produces the native
+    engine's exact output plus a warning (previously: AssertionError in
+    the kernel factory)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    p = Params()
+    p.max_dist_in_query = 100
+    rng = np.random.RandomState(31)
+    base = rng.randint(0, 4, 400).astype(np.uint8)
+    codes = []
+    for i in range(5):
+        s = base.copy()
+        s[:: (i + 3)] = (s[:: (i + 3)] + 1) % 4
+        codes.append(s[: 400 - 17 * i])
+    want = ne.all2all(codes, p)
+    seen = []
+
+    def prog(done, total, seqs_done=0, total_seqs=0):
+        seen.append((done, total))
+
+    got = pe.all2all_pallas(codes, p, interpret=True, progress=prog)
+    assert np.array_equal(got, want)
+    assert "outside the device kernel envelope" in capfd.readouterr().err
+    assert seen and seen[-1] == (20, 20)
