@@ -35,6 +35,8 @@ v3: parser.cpp:482-716 (per-construct citations in ops/pallas_engine.py).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -69,6 +71,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     assert W + D + msl_eff <= WCOLS, (W, D, msl_eff)
     assert max(mqd, mrd) <= 127
     assert 1 <= aw <= 128 and 0 <= ar <= 128, (aw, ar)
+    # window-row geometry (LZANI_TPU_WROWS A/B probe): legality only
+    # needs D + msl_eff rows (48 at defaults); the compiled 80 adds
+    # diagonal runway that keeps edge-cap contest escalations rare.
+    # Fewer rows shrink EVERY window-cluster op (the profiled v7red +
+    # v7win floor, 26% of wall) at the price of more exact re-contests
+    # for long runs in high rows — rare, because the nearest-row pick
+    # (di23 dominance in pk) favors small rowi. Bit-exact at any legal
+    # WR: capped cells always escalate to exact LCE (contest_one).
+    WR = int(_os.environ.get("LZANI_TPU_WROWS", "0")) or WROWS
+    assert WR % 8 == 0 and D + msl_eff <= WR <= 128, WR
     # the WIN table's maximum legal index (clamp target for the
     # always-issued arbitration probe; valid probes never exceed it)
     WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
@@ -275,15 +287,15 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # of the rolled S value. to_col outputs slice fine; rolled-chain
         # outputs do not. Revisit when Mosaic's strided-slice layout
         # support widens.
-        RR = WROWS
+        RR = WR
         RC = WCOLS
-        rowiF = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 0)
-        coliF = jax.lax.broadcasted_iota(I32, (WROWS, WCOLS), 1)
+        rowiF = jax.lax.broadcasted_iota(I32, (WR, WCOLS), 0)
+        coliF = jax.lax.broadcasted_iota(I32, (WR, WCOLS), 1)
         rowi = rowiF[:RR, :RC]
         coli = coliF[:RR, :RC]
         # per-cell saturation uses the FULL window dims (the chain ran
         # there); slicing the precomputed matrix keeps values identical
-        Scap = jnp.minimum(jnp.minimum(WROWS - rowi, WCOLS - coli), CAP)
+        Scap = jnp.minimum(jnp.minimum(WR - rowi, WCOLS - coli), CAP)
         c511 = 511 - coli
         cmr = coli - rowi
         di = jax.lax.broadcasted_iota(I32, (RR, 1), 0)
@@ -309,7 +321,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     for k in range(K_)]
             cvec = [align_load_r(cand, k, w[k]["i0"], 128)
                     for k in range(K_)]
-            qcol = [to_col(qrow[k], cmat[:, 0:128])[:WROWS]
+            qcol = [to_col(qrow[k], cmat[:, 0:128])[:WR]
                     for k in range(K_)]
             anch_col = [to_col((cvec[k] > 0).astype(I32),
                                cmat[:, 0:128])[:RR] for k in range(K_)]
@@ -318,9 +330,9 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             step = 1
             while step < CAP:
                 for k in range(K_):
-                    M2 = pltpu.roll(pltpu.roll(S[k], WROWS - step, 0),
+                    M2 = pltpu.roll(pltpu.roll(S[k], WR - step, 0),
                                     WCOLS - step, 1)
-                    take = ((S[k] == step) & (rowiF < WROWS - step)
+                    take = ((S[k] == step) & (rowiF < WR - step)
                             & (coliF < WCOLS - step))
                     S[k] = S[k] + jnp.where(take, M2, 0)
                 step *= 2
@@ -330,16 +342,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 step = 1
                 while step < CAP:
                     for k in range(K_):
-                        M2 = pltpu.roll(pltpu.roll(S2[k], WROWS - step, 0),
+                        M2 = pltpu.roll(pltpu.roll(S2[k], WR - step, 0),
                                         WCOLS - step, 1)
-                        take = ((S2[k] == step) & (rowiF < WROWS - step)
+                        take = ((S2[k] == step) & (rowiF < WR - step)
                                 & (coliF < WCOLS - step))
                         S2[k] = S2[k] + jnp.where(take, M2, 0)
                     step *= 2
                 # z == 0 -> the roll is a full cycle -> S2 == S; the min
                 # is an identity the compiler cannot prove
                 S = [jnp.minimum(S[k], S2[k]) for k in range(K_)]
-            if RR < WROWS:  # see the RR/RC note above (Mosaic-blocked)
+            if RR < WR:  # see the RR/RC note above (Mosaic-blocked)
                 S = [S[k][:RR] for k in range(K_)]
             for k in range(K_):
                 w[k]["S"] = S[k]
