@@ -1945,7 +1945,8 @@ class PallasGroupIndex:
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
-                    ilv: int = 1, sim: bool = False):
+                    ilv: int = 1, sim: bool = False, wr: int = 0,
+                    cef: int = 0):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
@@ -1956,7 +1957,8 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     if sim:
         from .pallas_v7 import make_parse_kernel_sim
         assert B % ilv == 0, (B, ilv)
-        kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv)
+        kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv,
+                                     WR=wr or None, CEF_=cef or None)
     elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
@@ -2308,6 +2310,24 @@ class PallasAll2All:
             import os as _os
             sim = int(_os.environ.get("LZANI_TPU_SIM", "-1"))
         self.sim = int(sim)
+        # v7 window-row geometry override (0 = compiled default WROWS).
+        # Resolved HERE so the value reaches the kernel factory AND every
+        # executable-cache key (lru + AOT): geometry variants must never
+        # alias to the same cached executable.
+        import os as _wos
+        self.wr = int(_wos.environ.get("LZANI_TPU_WROWS", "0"))
+        if not self.wr:
+            # auto = the minimal legal row count (ceil8(D + msl_eff),
+            # floored at the measured 48): the runway above it is pure
+            # element work in the profiled-heaviest window cluster.
+            # Round-4 vir61 A/B: 0.553 vs 0.597 s/group (DESIGN.md).
+            msl_eff = min(cfg.msl, CAP)
+            self.wr = max(48, -(-(cfg.mqd + 1 + msl_eff) // 8) * 8)
+        # v7 forward-ext first-chunk width (LZANI_TPU_CEF to override;
+        # auto = 256: ext > 256 is 0.81%/event on vir61, and the halved
+        # (256,512) banded matmul measured 0.558 vs 0.597 s/group —
+        # continuations stay CEF-free via the shared rare path)
+        self.cef = int(_wos.environ.get("LZANI_TPU_CEF", "0")) or 256
         self.devices = list(devices) if devices else [None]
         # O(1) per-item lengths on the packed store (no unpack passes)
         slens = (np.asarray(codes.slens, np.int64)
@@ -2487,12 +2507,14 @@ class PallasAll2All:
         B = self.B
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
-                     self.LqPrep, self.ilv, self.sim)
+                     self.LqPrep, self.ilv, self.sim, self.wr,
+                     self.cef)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
-                                   self.LqPrep, self.ilv, self.sim)
+                                   self.LqPrep, self.ilv, self.sim,
+                                   self.wr, self.cef)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

@@ -53,7 +53,8 @@ __all__ = ["make_parse_kernel_sim"]
 
 
 def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
-                          WinP: int, EvL: int, K: int):
+                          WinP: int, EvL: int, K: int,
+                          WR: int | None = None, CEF_: int | None = None):
     """K-pair predicated-SIMT kernel. Block contract matches
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
@@ -79,17 +80,19 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # for long runs in high rows — rare, because the nearest-row pick
     # (di23 dominance in pk) favors small rowi. Bit-exact at any legal
     # WR: capped cells always escalate to exact LCE (contest_one).
-    WR = int(_os.environ.get("LZANI_TPU_WROWS", "0")) or WROWS
+    WR = WR or int(_os.environ.get("LZANI_TPU_WROWS", "0")) or WROWS
     assert WR % 8 == 0 and D + msl_eff <= WR <= 128, WR
     # the WIN table's maximum legal index (clamp target for the
     # always-issued arbitration probe; valid probes never exceed it)
     WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
-    # forward-ext first-chunk width: the v7cef256 probe halves it (the
-    # (CEF, 2CEF) banded matmul is part of the profiled v7ext cluster;
-    # ext > 256 is 0.81%/event on vir61, so the extra continuations are
-    # cheap) — reads the top-left quadrants of the resident cmat2
-    CEFV = (128 if "v7cef128" in _pe.PROF_DOUBLE
-            else 256 if "v7cef256" in _pe.PROF_DOUBLE else CEF)
+    # forward-ext first-chunk width (production auto = 256, threaded in
+    # from the engine so it keys every executable cache): ext > 256 is
+    # 0.81%/event on vir61, so halving the (CEF, 2CEF) banded matmul —
+    # the profiled v7ext cluster — costs almost no continuations. Reads
+    # the top-left quadrants of the resident cmat2; CEF_ == CEF (512)
+    # reproduces the round-3 kernel exactly.
+    CEFV = CEF_ or int(_os.environ.get("LZANI_TPU_CEF", "0")) or CEF
+    assert CEFV in (128, 256, CEF), CEFV
 
     # phase-doubling profile hooks (scripts/profile_v7_phases.py): each
     # tag recomputes one phase with a runtime-zero perturbation and folds
