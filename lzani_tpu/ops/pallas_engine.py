@@ -2381,11 +2381,16 @@ class PallasAll2All:
         self.sim = bool(self.sim)
         if not self.ilv:
             if self.sim:
-                # v7 interleave width: +16% at ilv=4 on vir61-likes with
-                # an ilv=8 plateau (0.603 -> 0.601); wider K doubles the
-                # per-program VMEM query residency, so auto takes 4 only
+                # v7 interleave width. At the ORIGINAL (80,256)/CEF-512
+                # kernel ilv=4->8 was flat (0.603 -> 0.601: per-pair
+                # window vector work scaled with K); the round-4 minimal
+                # geometry + halved ext chunk cut exactly that work, and
+                # ilv=8 now wins BOTH regimes (vir61 0.489 vs 0.518
+                # s/group; dissim 848.0 vs 757.4 pairs/s; near-identical
+                # +0.8% — DESIGN.md round-4 continued 2). Wider K doubles
+                # per-program VMEM query residency, so auto takes 8 only
                 # at the small bucket and 2 up to the validated envelope.
-                self.ilv = 4 if self.LqP <= (1 << 16) else 2
+                self.ilv = 8 if self.LqP <= (1 << 16) else 2
             else:
                 # v5/v3 path: ilv=2 measured >= v3 on every workload
                 # regime (round 2), inside the validated envelope only.

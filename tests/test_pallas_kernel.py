@@ -305,3 +305,22 @@ def test_out_of_envelope_falls_back_to_native(capfd):
     assert np.array_equal(got, want)
     assert "outside the device kernel envelope" in capfd.readouterr().err
     assert seen and seen[-1] == (20, 20)
+
+
+def test_auto_kernel_configuration_pins():
+    """The production auto configuration (what dryrun_multichip and the
+    driver bench actually ship): v7 at ilv=4 small-bucket, minimal-legal
+    window rows, halved forward-ext chunk. A deliberate change here must
+    re-run the vir61 + dissimilar A/B gate (CLAUDE.md)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    rng = np.random.RandomState(40)
+    codes = [rng.randint(0, 4, 300).astype(np.uint8) for _ in range(4)]
+    eng = pe.PallasAll2All(codes, Params(), interpret=True)
+    assert eng.sim and eng.ilv == 8
+    assert eng.wr == 48     # ceil8(D + msl_eff) = 48 at defaults
+    assert eng.cef == 256
+    p = Params()
+    p.max_dist_in_query = 55    # D + msl_eff = 63 -> ceil8 = 64
+    eng = pe.PallasAll2All(codes, p, interpret=True)
+    assert eng.wr == 64
