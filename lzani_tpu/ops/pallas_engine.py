@@ -1946,7 +1946,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
                     ilv: int = 1, sim: bool = False, wr: int = 0,
-                    cef: int = 0):
+                    cef: int = 0, wc: int = 0):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
@@ -1958,7 +1958,8 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         from .pallas_v7 import make_parse_kernel_sim
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv,
-                                     WR=wr or None, CEF_=cef or None)
+                                     WR=wr or None, CEF_=cef or None,
+                                     WC=wc or None)
     elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
@@ -2328,6 +2329,9 @@ class PallasAll2All:
         # (256,512) banded matmul measured 0.558 vs 0.597 s/group —
         # continuations stay CEF-free via the shared rare path)
         self.cef = int(_wos.environ.get("LZANI_TPU_CEF", "0")) or 256
+        # window-column geometry (A/B-gated, default unchanged: col
+        # shrink raises edge-cap contest escalations; see pallas_v7)
+        self.wc = int(_wos.environ.get("LZANI_TPU_WCOLS", "0"))
         self.devices = list(devices) if devices else [None]
         # O(1) per-item lengths on the packed store (no unpack passes)
         slens = (np.asarray(codes.slens, np.int64)
@@ -2513,13 +2517,13 @@ class PallasAll2All:
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
                      self.LqPrep, self.ilv, self.sim, self.wr,
-                     self.cef)
+                     self.cef, self.wc)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
                                    self.LqPrep, self.ilv, self.sim,
-                                   self.wr, self.cef)
+                                   self.wr, self.cef, self.wc)
             args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
                     gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

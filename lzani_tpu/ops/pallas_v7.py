@@ -54,7 +54,8 @@ __all__ = ["make_parse_kernel_sim"]
 
 def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                           WinP: int, EvL: int, K: int,
-                          WR: int | None = None, CEF_: int | None = None):
+                          WR: int | None = None, CEF_: int | None = None,
+                          WC: int | None = None):
     """K-pair predicated-SIMT kernel. Block contract matches
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
@@ -82,6 +83,14 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     # WR: capped cells always escalate to exact LCE (contest_one).
     WR = WR or int(_os.environ.get("LZANI_TPU_WROWS", "0")) or WROWS
     assert WR % 8 == 0 and D + msl_eff <= WR <= 128, WR
+    # window-column geometry, same argument as WR: legality only needs
+    # W + D + msl_eff cols (128 at defaults) — the compiled 256 is
+    # diagonal runway. Col shrink raises edge-cap contest escalations
+    # more than row shrink does (winners are longest-run-in-row at ANY
+    # column), so this stays A/B-gated. <= 512 keeps the 9-bit c511
+    # tie field exact.
+    WC = WC or int(_os.environ.get("LZANI_TPU_WCOLS", "0")) or WCOLS
+    assert WC % 128 == 0 and W + D + msl_eff <= WC <= 512, WC
     # the WIN table's maximum legal index (clamp target for the
     # always-issued arbitration probe; valid probes never exceed it)
     WIDX_MAX = ((SAT - mal) * NS + (SAT - msl)) * NL + mqd
@@ -291,14 +300,14 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         # outputs do not. Revisit when Mosaic's strided-slice layout
         # support widens.
         RR = WR
-        RC = WCOLS
-        rowiF = jax.lax.broadcasted_iota(I32, (WR, WCOLS), 0)
-        coliF = jax.lax.broadcasted_iota(I32, (WR, WCOLS), 1)
+        RC = WC
+        rowiF = jax.lax.broadcasted_iota(I32, (WR, WC), 0)
+        coliF = jax.lax.broadcasted_iota(I32, (WR, WC), 1)
         rowi = rowiF[:RR, :RC]
         coli = coliF[:RR, :RC]
         # per-cell saturation uses the FULL window dims (the chain ran
         # there); slicing the precomputed matrix keeps values identical
-        Scap = jnp.minimum(jnp.minimum(WR - rowi, WCOLS - coli), CAP)
+        Scap = jnp.minimum(jnp.minimum(WR - rowi, WC - coli), CAP)
         c511 = 511 - coli
         cmr = coli - rowi
         di = jax.lax.broadcasted_iota(I32, (RR, 1), 0)
@@ -320,7 +329,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 w[k]["off"] = pred - w[k]["b0"]
             qrow = [align_load_r(qbuf, k, w[k]["i0"], 128)
                     for k in range(K_)]
-            rrow = [align_load_r(refbuf, 0, w[k]["b0"], WCOLS)
+            rrow = [align_load_r(refbuf, 0, w[k]["b0"], WC)
                     for k in range(K_)]
             cvec = [align_load_r(cand, k, w[k]["i0"], 128)
                     for k in range(K_)]
@@ -334,21 +343,21 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             while step < CAP:
                 for k in range(K_):
                     M2 = pltpu.roll(pltpu.roll(S[k], WR - step, 0),
-                                    WCOLS - step, 1)
+                                    WC - step, 1)
                     take = ((S[k] == step) & (rowiF < WR - step)
-                            & (coliF < WCOLS - step))
+                            & (coliF < WC - step))
                     S[k] = S[k] + jnp.where(take, M2, 0)
                 step *= 2
             if "v7win" in PROF:  # double the alternated S-chain
-                S2 = [(qcol[k] == pltpu.roll(rrow[k], WCOLS - z, 1)
+                S2 = [(qcol[k] == pltpu.roll(rrow[k], WC - z, 1)
                        ).astype(I32) for k in range(K_)]
                 step = 1
                 while step < CAP:
                     for k in range(K_):
                         M2 = pltpu.roll(pltpu.roll(S2[k], WR - step, 0),
-                                        WCOLS - step, 1)
+                                        WC - step, 1)
                         take = ((S2[k] == step) & (rowiF < WR - step)
-                                & (coliF < WCOLS - step))
+                                & (coliF < WC - step))
                         S2[k] = S2[k] + jnp.where(take, M2, 0)
                     step *= 2
                 # z == 0 -> the roll is a full cycle -> S2 == S; the min

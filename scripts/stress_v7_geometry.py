@@ -34,6 +34,13 @@ def min_wr(p):
     return -(-(D + msl_eff) // 8) * 8
 
 
+def min_wc(p):
+    D = p.max_dist_in_query + 1
+    W = p.max_dist_in_query + p.max_dist_in_ref
+    msl_eff = min(p.min_seed_len, 32)
+    return -(-(W + D + msl_eff) // 128) * 128
+
+
 def main():
     from lzani_tpu.ops.pallas_engine import all2all_pallas
 
@@ -42,7 +49,9 @@ def main():
     for t in range(N_TRIALS):
         pt = rand_params(rng) if t % 2 else Params()
         wr = min_wr(pt)
+        wc = min_wc(pt)
         os.environ["LZANI_TPU_WROWS"] = str(wr)
+        os.environ["LZANI_TPU_WCOLS"] = str(wc)
         L = int(rng.randint(300, 1100))
         if t % 4 == 0:  # tandem repeats: long runs all over the window
             unit = rng.randint(0, 4, rng.randint(15, 60)).astype(np.uint8)
@@ -57,12 +66,13 @@ def main():
             got = all2all_pallas(codes, pt, interpret=True,
                                  ilv=ilv, sim=True)
             ok = np.array_equal(got, want)
-            print(f"trial {t} wr={wr} ilv={ilv} "
+            print(f"trial {t} wr={wr} wc={wc} ilv={ilv} "
                   f"mqd={pt.max_dist_in_query} msl={pt.min_seed_len}: "
                   f"{'OK' if ok else 'MISMATCH'}", flush=True)
             if not ok:
                 fails += 1
     os.environ.pop("LZANI_TPU_WROWS", None)
+    os.environ.pop("LZANI_TPU_WCOLS", None)
     print("FAILS:", fails)
     sys.exit(1 if fails else 0)
 
