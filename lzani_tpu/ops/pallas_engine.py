@@ -2329,9 +2329,16 @@ class PallasAll2All:
         # (256,512) banded matmul measured 0.558 vs 0.597 s/group —
         # continuations stay CEF-free via the shared rare path)
         self.cef = int(_wos.environ.get("LZANI_TPU_CEF", "0")) or 256
-        # window-column geometry (A/B-gated, default unchanged: col
-        # shrink raises edge-cap contest escalations; see pallas_v7)
+        # window-column geometry: auto = minimal legal (128 at default
+        # params). Smaller win than the row shrink (-2.5% vir61 vs
+        # -7.4%: lanes stream cheaper than sublanes, and col-edge cap
+        # escalations claw some back) but it won every regime in the
+        # round-4 A/B (dissim +2.1%, near-identical +7.8%) — DESIGN.md.
         self.wc = int(_wos.environ.get("LZANI_TPU_WCOLS", "0"))
+        if not self.wc:
+            msl_eff = min(cfg.msl, CAP)
+            self.wc = max(128, -(-(cfg.mqd + cfg.mrd + cfg.mqd + 1
+                                   + msl_eff) // 128) * 128)
         self.devices = list(devices) if devices else [None]
         # O(1) per-item lengths on the packed store (no unpack passes)
         slens = (np.asarray(codes.slens, np.int64)

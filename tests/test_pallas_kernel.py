@@ -319,6 +319,7 @@ def test_auto_kernel_configuration_pins():
     eng = pe.PallasAll2All(codes, Params(), interpret=True)
     assert eng.sim and eng.ilv == 8
     assert eng.wr == 48     # ceil8(D + msl_eff) = 48 at defaults
+    assert eng.wc == 128    # ceil128(W + D + msl_eff) = 128 at defaults
     assert eng.cef == 256
     p = Params()
     p.max_dist_in_query = 55    # D + msl_eff = 63 -> ceil8 = 64
