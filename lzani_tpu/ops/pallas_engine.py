@@ -229,15 +229,17 @@ def pack_bits_i32(bits: np.ndarray, pad_words: int) -> np.ndarray:
 CEF = 512  # forward ext_scan chunk width (lanes per loop iteration)
 
 
-def build_const_mat2(aw: int, ar: int) -> np.ndarray:
-    """Forward ext_scan banded matrices at the wide chunk width:
-    (CEF, 2*CEF) f32 — [:, :CEF) the aw-window band, [:, CEF:) the
+def build_const_mat2(aw: int, ar: int, ce: int = CEF) -> np.ndarray:
+    """Forward ext_scan banded matrices at the chunk width ce:
+    (ce, 2*ce) f32 — [:, :ce) the aw-window band, [:, ce:) the
     ar-window band; B[k, e] = 1 iff e-width < k <= e. Vector ops below
     ~(128,256) are priced per-op, not per-element (measured round 2), so
     a (1,512) chunk costs the same per iteration as (1,128) and scans 4x
-    the symbols. Ships as an XLA constant inside the dispatch jit."""
-    k = np.arange(CEF)[:, None]
-    e = np.arange(CEF)[None, :]
+    the symbols. Ships as an XLA constant inside the dispatch jit; the
+    sim path ships it at the production cef (256), saving 1.5 MB of the
+    16 MB VMEM budget vs the (512,1024) block."""
+    k = np.arange(ce)[:, None]
+    e = np.arange(ce)[None, :]
     baw = (e - aw < k) & (k <= e)
     bar = (e - ar < k) & (k <= e)
     return np.concatenate([baw, bar], axis=1).astype(np.float32)
@@ -2035,6 +2037,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         if ilv > 1 or sim:
             # ilv gets its OWN (fully-covered) dimension: Mosaic requires
             # sublane block dims divisible by 8 or equal to the array dim
+            CE2 = (cef or CEF) if sim else CEF
             Bi = B // ilv
             pergb4 = lambda g, b: (g, b, 0, 0)
             perq3 = lambda g, b: (b, 0, 0)
@@ -2062,7 +2065,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((128, 512), fixed2,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((CEF, 2 * CEF), fixed2,
+                    pl.BlockSpec((CE2, 2 * CE2), fixed2,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=(
@@ -2075,7 +2078,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
               qsel.reshape(Bi, ilv, LqP), poslist[:, None, :],
               cd.reshape(G, Bi, ilv, LqP), nhm.reshape(G, Bi, ilv, LqP),
               win[:, None, :], cmat,
-              jnp.asarray(build_const_mat2(cfg.aw, cfg.ar)))
+              jnp.asarray(build_const_mat2(cfg.aw, cfg.ar, CE2)))
             ev2 = ev.reshape(G, B, EvL)
             nev_flat = nev.reshape(G, B)
             if LqP <= (1 << 16):

@@ -59,7 +59,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     """K-pair predicated-SIMT kernel. Block contract matches
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
-    (1,KaP), win (1,WinP), cmat (128,512), cmat2 (CEF,2CEF); outputs
+    (1,KaP), win (1,WinP), cmat (128,512), cmat2 (CEFV,2CEFV); outputs
     ev (K,EvL) VMEM, nev (K,1) SMEM."""
     MAXEV = EvL // 128 * 16
     mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
@@ -158,21 +158,10 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             return pltpu.roll(mr, CE - sh, 1)
 
         def ext_win_sums(m_eff, forward):
-            if forward and CEFV != CEF:
-                Waw = jax.lax.dot_general(
-                    m_eff.astype(jnp.float32), cmat2[0:CEFV, 0:CEFV],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(I32)
-                War = jax.lax.dot_general(
-                    m_eff.astype(jnp.float32),
-                    cmat2[0:CEFV, CEF:CEF + CEFV],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(I32)
-                return jnp.concatenate([Waw, War], axis=1)
             if "v7extps" in PROF:
                 # log-step prefix-sum variant (A/B vs the MXU banded
                 # matmul): W[e] = P[e] - P[e-width], exact in int32
-                CE = CEF if forward else 128
+                CE = CEFV if forward else 128
                 io = lane_iota(CE)
                 P = m_eff
                 s = 1
@@ -182,6 +171,9 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 Waw = P - jnp.where(io >= aw, pltpu.roll(P, aw, 1), 0)
                 War = P - jnp.where(io >= ar, pltpu.roll(P, ar, 1), 0)
                 return jnp.concatenate([Waw, War], axis=1)
+            # cmat2 ships PRE-SIZED at (CEFV, 2*CEFV) by the engine
+            # (build_const_mat2(aw, ar, cef)): one full-matrix banded
+            # matmul yields concat(Waw, War) directly
             return jax.lax.dot_general(
                 m_eff.astype(jnp.float32),
                 cmat2[:, :] if forward else cmat[:, 256:512],
