@@ -296,9 +296,22 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     # the remaining queue to outlast LZANI_TPU_WARM_MIN_S seconds
     warm_state: dict = {"s": None, "ok": None, "why": None}
 
+    def _dbg(msg):
+        if debug:
+            import sys as _s
+            print(f"[hyb +{time.perf_counter() - t_run0:6.1f}s] {msg}",
+                  file=_s.stderr, flush=True)
+
     def _warm():
         nonlocal eng, devices, depth
-        _thread_idle_priority()
+        _dbg("warm thread entered")
+        if not greedy:
+            # greedy mode is the machinery demonstration: the warm must
+            # not be starvable by the saturated native pool (measured:
+            # at idle priority on a 4-vCPU host the 500-genome engine
+            # construction outlasts a ~40 s queue and the device never
+            # joins — BENCH r4 "warm-up did not complete")
+            _thread_idle_priority()
         try:
             # the jax + pallas_engine imports (~1.4 s of Mosaic/pallas
             # machinery) are part of the warm-up cost by design: a run
@@ -330,8 +343,10 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                     warm_state["why"] = "cancelled-before-engine"
                     return
                 depth = 2 * len(devices)
+                _dbg("warm: devices resolved")
                 eng = PallasAll2All(codes, params, devices=devices,
                                     interpret=interpret)
+                _dbg("warm: engine constructed")
                 if warm_state.get("cancel"):
                     warm_state["ok"] = False
                     warm_state["why"] = "cancelled-before-dispatch"
@@ -342,6 +357,7 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                                                      eng.devices[0]))
                 warm_state["s"] = time.perf_counter() - t0
                 warm_state["ok"] = True
+                _dbg(f"warm: dummy dispatch done ({warm_state['s']:.1f}s)")
         except Exception as e:  # device dead at startup: CPU owns the run
             warm_state["ok"] = False
             warm_state["why"] = f"{type(e).__name__}: {e}"[:200]
@@ -486,7 +502,8 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     warm_started = False
     # the scheduler loop itself (index builds, dispatch prep) is device-
     # side host work too — idle priority, restored before returning
-    prio_tok = _thread_idle_priority()
+    # (greedy keeps normal priority: see _warm)
+    prio_tok = None if greedy else _thread_idle_priority()
     try:
         while True:
             if not warm_started:

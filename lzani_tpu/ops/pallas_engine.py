@@ -1944,6 +1944,24 @@ class PallasGroupIndex:
 
 
 @lru_cache(maxsize=32)
+def _get_qslice(npad: int, wq: int, B: int):
+    """Tiny jit that slices the resident query matrix (and dszs) down to
+    one dispatch's (B, wq) window. Kept OUTSIDE the Mosaic step so the
+    expensive group executable is independent of the run's n_pad: one
+    program per shape bucket serves ANY set size (and a small-set
+    prewarm genuinely primes the big run — BENCH r4's greedy key failed
+    precisely because the old full-Q argument specialized the program
+    on n_pad)."""
+
+    @jax.jit
+    def f(Qpacked, dszs_full, lo):
+        return (jax.lax.dynamic_slice(Qpacked, (lo, 0), (B, wq)),
+                jax.lax.dynamic_slice(dszs_full, (lo,), (B,)))
+
+    return f
+
+
+@lru_cache(maxsize=32)
 def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
@@ -1977,8 +1995,9 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
     fixed2 = lambda g, b: (0, 0)
 
     @jax.jit
-    def step(refbuf_p, Qpacked, lo_row, nrs, dszs_full, win, cmat):
-        dsz = jax.lax.dynamic_slice(dszs_full, (lo_row,), (B,))
+    def step(refbuf_p, q_rows, dsz, nrs, win, cmat):
+        # q_rows/dsz arrive pre-sliced to this dispatch's B rows
+        # (_get_qslice) so this executable is n-independent
         # --- per-ref join builds (batched over the group) -----------------
         refbuf = dev_unpack3(refbuf_p, LrP)              # (G, LrP)
         km = dev_kmer_stream(refbuf, mal)                # (G, LrP)
@@ -2001,10 +2020,8 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                        .at[:, :LrP].set(pos_s))
         # --- query prep: ONCE for the whole group -------------------------
         Lp = LqPrep or LqP
-        Lp3 = min(-(-Lp // 3) + 128, Qpacked.shape[1])
-        qsel_p = jax.lax.dynamic_slice(
-            Qpacked, (lo_row, 0), (B, Qpacked.shape[1]))
-        qsel = dev_unpack3(qsel_p[:, :Lp3], Lp)          # (B, Lp)
+        Lp3 = min(-(-Lp // 3) + 128, q_rows.shape[1])
+        qsel = dev_unpack3(q_rows[:, :Lp3], Lp)          # (B, Lp)
         qkm = dev_kmer_stream(qsel, mal)
         qk = jnp.where(qkm >= 0, qkm, 0)
         # per-ref candidate tables: one flat gather over the stacked ptab
@@ -2534,8 +2551,11 @@ class PallasAll2All:
                                    self.EV_CAP, self.interpret,
                                    self.LqPrep, self.ilv, self.sim,
                                    self.wr, self.cef, self.wc)
-            args = (gidx.refbuf_p, self.Q[device], np.int32(lo),
-                    gidx.nrs_dev, self.DSZ[device], gidx.win, gidx.cmat)
+            Qd = self.Q[device]
+            qsl = _get_qslice(int(Qd.shape[0]), int(Qd.shape[1]), B)
+            q_rows, dsz_b = qsl(Qd, self.DSZ[device], np.int32(lo))
+            args = (gidx.refbuf_p, q_rows, dsz_b,
+                    gidx.nrs_dev, gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:
                 ev, nev, overflow = step(*args)
             else:
