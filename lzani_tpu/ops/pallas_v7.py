@@ -372,6 +372,54 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 geo[k] = (live & (coli >= w[k]["c_lo"])
                           & (cmr < w[k]["off"] + mrd))
                 tie[k] = ((127 - jnp.abs(cmr - w[k]["off"])) << 9) | c511
+            if "v7pk1" in PROF:
+                # single-pass reduce (round-5 lever 2, A/B-gated): one
+                # (WR,WC) min over a per-cell key replaces the per-row
+                # max + (RR,1) packed rebuild + row min. Key layout:
+                # rowi<<25 | (2^25-1 - V) — min picks the NEAREST row
+                # (di23 dominance, as before) and within it the MAX
+                # V = Sbase+tie (identical tie-break chain). The pk
+                # BIT LAYOUT REASSEMBLED BELOW IS UNCHANGED, so the
+                # decision tail is untouched and exactness is by
+                # construction (validated vs the two-pass path in
+                # interpret stress + TPU oracle).
+                I32MAX = (1 << 31) - 1
+                M25 = (1 << 25) - 1
+                for k in range(K_):
+                    a_min = states[k][9]
+                    valid = (geo[k] & w[k]["SgeM"] & (rowi >= a_min))
+                    Kc = jnp.where(
+                        valid,
+                        (rowi << 25) + (M25 - (Sbase[k] + tie[k])),
+                        I32MAX)
+                    m_ = jnp.min(Kc)
+                    live1 = (di >= 0) & (di < w[k]["D_eff"])
+                    am_ = jnp.min(jnp.where(
+                        (anch_col[k] > 0) & live1 & (di >= a_min),
+                        di, BIG))
+                    has_w = m_ != I32MAX
+                    r_w = m_ >> 25
+                    # rows >= D_eff never produce valid cells (geo's
+                    # live mask), so r_w < D_eff when has_w
+                    V = M25 - (m_ & M25)
+                    r_s = jnp.minimum(jnp.where(has_w, r_w, BIG), am_)
+                    win_h = has_w & (r_w == r_s)
+                    anc_h = am_ == r_s
+                    capb = win_h & (V >= (1 << 24))
+                    sfb = win_h & ~capb
+                    lmax_ = (V >> 18) & 63
+                    brel_ = 511 - (V & 511)
+                    w[k]["pk"] = jnp.where(
+                        r_s < BIG,
+                        (r_s << 23)
+                        + jnp.where(anc_h, 1 << 22, 0)
+                        + jnp.where(sfb, (1 << 21) + (lmax_ << 15)
+                                    + (brel_ << 6), 0)
+                        + jnp.where(capb, 1 << 5, 0),
+                        BIG)
+                    w[k]["geo"] = geo[k]
+                    w[k]["tie"] = tie[k]
+                return w
             for k in range(K_):
                 R1[k] = jnp.max(
                     jnp.where(geo[k] & w[k]["SgeM"], Sbase[k] + tie[k],
