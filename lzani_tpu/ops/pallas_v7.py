@@ -366,95 +366,65 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                      + w[k]["S18"] for k in range(K_)]
             geo = [None] * K_
             tie = [None] * K_
-            R1 = [None] * K_
             for k in range(K_):
                 live = (rowi >= 0) & (rowi < w[k]["D_eff"])
                 geo[k] = (live & (coli >= w[k]["c_lo"])
                           & (cmr < w[k]["off"] + mrd))
                 tie[k] = ((127 - jnp.abs(cmr - w[k]["off"])) << 9) | c511
-            if "v7pk1" in PROF:
-                # single-pass reduce (round-5 lever 2, A/B-gated): one
-                # (WR,WC) min over a per-cell key replaces the per-row
-                # max + (RR,1) packed rebuild + row min. Key layout:
-                # rowi<<25 | (2^25-1 - V) — min picks the NEAREST row
-                # (di23 dominance, as before) and within it the MAX
-                # V = Sbase+tie (identical tie-break chain). The pk
-                # BIT LAYOUT REASSEMBLED BELOW IS UNCHANGED, so the
-                # decision tail is untouched and exactness is by
-                # construction (validated vs the two-pass path in
-                # interpret stress + TPU oracle).
-                I32MAX = (1 << 31) - 1
-                M25 = (1 << 25) - 1
-                for k in range(K_):
-                    a_min = states[k][9]
-                    valid = (geo[k] & w[k]["SgeM"] & (rowi >= a_min))
-                    Kc = jnp.where(
-                        valid,
-                        (rowi << 25) + (M25 - (Sbase[k] + tie[k])),
-                        I32MAX)
-                    m_ = jnp.min(Kc)
-                    live1 = (di >= 0) & (di < w[k]["D_eff"])
-                    am_ = jnp.min(jnp.where(
-                        (anch_col[k] > 0) & live1 & (di >= a_min),
-                        di, BIG))
-                    has_w = m_ != I32MAX
-                    r_w = m_ >> 25
-                    # rows >= D_eff never produce valid cells (geo's
-                    # live mask), so r_w < D_eff when has_w
-                    V = M25 - (m_ & M25)
-                    r_s = jnp.minimum(jnp.where(has_w, r_w, BIG), am_)
-                    win_h = has_w & (r_w == r_s)
-                    anc_h = am_ == r_s
-                    capb = win_h & (V >= (1 << 24))
-                    sfb = win_h & ~capb
-                    lmax_ = (V >> 18) & 63
-                    brel_ = 511 - (V & 511)
-                    w[k]["pk"] = jnp.where(
-                        r_s < BIG,
-                        (r_s << 23)
-                        + jnp.where(anc_h, 1 << 22, 0)
-                        + jnp.where(sfb, (1 << 21) + (lmax_ << 15)
-                                    + (brel_ << 6), 0)
-                        + jnp.where(capb, 1 << 5, 0),
-                        BIG)
-                    w[k]["geo"] = geo[k]
-                    w[k]["tie"] = tie[k]
-                return w
-            for k in range(K_):
-                R1[k] = jnp.max(
-                    jnp.where(geo[k] & w[k]["SgeM"], Sbase[k] + tie[k],
-                              -1), axis=1, keepdims=True)
-            if "v7red" in PROF:  # double the per-pair row reductions
-                for k in range(K_):
-                    R1b = jnp.max(
-                        jnp.where(geo[k] & w[k]["SgeM"],
-                                  Sbase[k] + tie[k] + z, -1),
-                        axis=1, keepdims=True)
-                    R1[k] = jnp.minimum(R1[k], R1b)
-            packed = [None] * K_
-            for k in range(K_):
-                cap_r = R1[k] >= (1 << 24)
-                lmax_r = (R1[k] >> 18) & 63
-                brel_r = 511 - (R1[k] & 511)
-                sf_r = ~cap_r & (R1[k] >= (msl << 18))
-                live1 = (di >= 0) & (di < w[k]["D_eff"])
-                hit = ((R1[k] >= (msl << 18)) | (anch_col[k] > 0)) & live1
-                anch_bit = jnp.where(anch_col[k] > 0, 1 << 22, 0)
-                packed[k] = jnp.where(
-                    hit,
-                    di23 + anch_bit
-                    + jnp.where(sf_r, (1 << 21) + (lmax_r << 15)
-                                + (brel_r << 6), 0)
-                    + jnp.where(cap_r, 1 << 5, 0),
-                    BIG)
+            # single-pass reduce (promoted round 4, was the v7pk1
+            # probe): one (WR,WC) min over a rowi<<25 | ~(Sbase+tie)
+            # cell key replaces the per-row max, the (RR,1) packed
+            # rebuild, and the row min — the min picks the NEAREST row
+            # (di23 dominance, as the old packed row-min did) and
+            # within it the MAX Sbase+tie (identical tie-break chain);
+            # the pk bit layout reassembled below is byte-for-byte the
+            # old one, so the decision tail is untouched. A/B: vir61
+            # 0.522 vs 0.544 s/group (-4.0%, three interleaved pairs),
+            # dissim best 779.6 vs 714.4 pairs/s, near-identical tied;
+            # oracle-exact every phase (DESIGN.md round-4 continued 4).
+            I32MAX = (1 << 31) - 1
+            M25 = (1 << 25) - 1
             for k in range(K_):
                 a_min = states[k][9]
-                w[k]["pk"] = jnp.min(jnp.where(di >= a_min, packed[k],
-                                               BIG))
-                if "v7red" in PROF:  # double the pk scalar extracts
-                    pk2 = jnp.min(jnp.where(di >= a_min + z, packed[k],
-                                            BIG))
-                    w[k]["pk"] = jnp.minimum(w[k]["pk"], pk2)
+                valid = (geo[k] & w[k]["SgeM"] & (rowi >= a_min))
+                Kc = jnp.where(
+                    valid,
+                    (rowi << 25) + (M25 - (Sbase[k] + tie[k])),
+                    I32MAX)
+                m_ = jnp.min(Kc)
+                live1 = (di >= 0) & (di < w[k]["D_eff"])
+                am_ = jnp.min(jnp.where(
+                    (anch_col[k] > 0) & live1 & (di >= a_min),
+                    di, BIG))
+                if "v7red" in PROF:  # double the cell min + anchor min
+                    Kc2 = jnp.where(
+                        geo[k] & w[k]["SgeM"] & (rowi >= a_min + z),
+                        (rowi << 25) + (M25 - (Sbase[k] + tie[k])),
+                        I32MAX)
+                    m_ = jnp.minimum(m_, jnp.min(Kc2))
+                    am_ = jnp.minimum(am_, jnp.min(jnp.where(
+                        (anch_col[k] > 0) & live1 & (di >= a_min + z),
+                        di, BIG)))
+                has_w = m_ != I32MAX
+                r_w = m_ >> 25
+                # rows >= D_eff never produce valid cells (geo's live
+                # mask), so r_w < D_eff whenever has_w
+                V = M25 - (m_ & M25)
+                r_s = jnp.minimum(jnp.where(has_w, r_w, BIG), am_)
+                win_h = has_w & (r_w == r_s)
+                anc_h = am_ == r_s
+                capb = win_h & (V >= (1 << 24))
+                sfb = win_h & ~capb
+                lmax_ = (V >> 18) & 63
+                brel_ = 511 - (V & 511)
+                w[k]["pk"] = jnp.where(
+                    r_s < BIG,
+                    (r_s << 23)
+                    + jnp.where(anc_h, 1 << 22, 0)
+                    + jnp.where(sfb, (1 << 21) + (lmax_ << 15)
+                                + (brel_ << 6), 0)
+                    + jnp.where(capb, 1 << 5, 0),
+                    BIG)
                 w[k]["geo"] = geo[k]
                 w[k]["tie"] = tie[k]
             return w
