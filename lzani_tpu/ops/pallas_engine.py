@@ -1504,11 +1504,28 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
     group_rem = [0] * len(groups)   # un-drained units per group
     group_nreal = [sum(1 for r in g[0] if r >= 0) for g in groups]
     for gi, (r_list, wanteds) in enumerate(groups):
-        for lo in range(0, eng.n_pad, eng.B):
-            subs = [{q: w for q, w in wanted.items()
-                     if lo <= q < lo + eng.B} for wanted in wanteds]
-            if any(subs):
-                units.append((r_list, lo, subs, gi))
+        if filter_csr is None:
+            for lo in range(0, eng.n_pad, eng.B):
+                subs = [{q: w for q, w in wanted.items()
+                         if lo <= q < lo + eng.B} for wanted in wanteds]
+                if any(subs):
+                    units.append((r_list, lo, subs, gi))
+                    group_rem[gi] += 1
+        else:
+            # sparse filter: dispatch the UNION of the group's wanted
+            # queries densely (gather path) — a clustered filter's
+            # partners scatter across the longest-first order, and
+            # contiguous windows would parse ~B/(wanted per window)
+            # times more pairs than the filter kept
+            uq = sorted(set().union(*[set(w) for w in wanteds]))
+            for c0 in range(0, len(uq), eng.B):
+                chunk = uq[c0:c0 + eng.B]
+                idx = np.full(eng.B, chunk[-1], np.int32)
+                idx[:len(chunk)] = chunk
+                posof = {q: i for i, q in enumerate(chunk)}
+                subs = [{q: w for q, w in wanted.items() if q in posof}
+                        for wanted in wanteds]
+                units.append((r_list, (idx, posof), subs, gi))
                 group_rem[gi] += 1
 
     big_units = []  # (r, lo, sub) — per-ref big-kernel dispatches
@@ -1547,6 +1564,9 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             # compute instead of serializing the dispatch loop
             nonlocal done_pairs, n_fallback, seqs_done
             r_list, lo, subs, gi = u
+            posof = None
+            if isinstance(lo, tuple):
+                posof = lo[1]
             evs = (eng.collect_group(handles) if use_group
                    else [eng.collect(handles)])
             n_sub = 0
@@ -1554,7 +1574,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                 for q, w in subs[g].items():
                     slot = ((r, q - 1 if q > r else q)
                             if filter_csr is None else w)
-                    if evs[g][q - lo] is None:
+                    b = posof[q] if posof is not None else q - lo
+                    if evs[g][b] is None:
                         with done_lock:
                             n_fallback += 1
                         if verbosity >= 2:
@@ -1562,7 +1583,7 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                                   f"to the native engine (event/anchor "
                                   f"capacity)", file=sys.stderr)
                     pending.append(pool.submit(finalize, r, q,
-                                               evs[g][q - lo], slot))
+                                               evs[g][b], slot))
                 n_sub += len(subs[g])
             with done_lock:
                 done_pairs += n_sub
@@ -1607,7 +1628,8 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
             ensure_prefetch(k)
             idx = idx_futs.pop(k).result()
             if use_group:
-                handles = eng.dispatch_group(idx, u[1],
+                u1 = u[1][0] if isinstance(u[1], tuple) else u[1]
+                handles = eng.dispatch_group(idx, u1,
                                              eng.device_for(k))
             else:
                 handles = eng.dispatch_range(u[0][0], u[1],
@@ -1957,6 +1979,26 @@ def _get_qslice(npad: int, wq: int, B: int):
     def f(Qpacked, dszs_full, lo):
         return (jax.lax.dynamic_slice(Qpacked, (lo, 0), (B, wq)),
                 jax.lax.dynamic_slice(dszs_full, (lo,), (B,)))
+
+    return f
+
+
+@lru_cache(maxsize=32)
+def _get_qgather(npad: int, wq: int, B: int):
+    """Gather twin of _get_qslice: picks B ARBITRARY query rows (and
+    their dszs) for one dispatch. Same (B, wq) output shape, so the
+    expensive group executable is shared with the contiguous path. This
+    is what makes sparse kmer-db filters efficient on device: a
+    clustered filter's wanted queries scatter across the longest-first
+    order, and contiguous 64-query windows made the kernel parse ~100x
+    more pairs than the filter kept (measured: the 10k Vclust-shape
+    demo crawled at ~100 pairs/s wanted-rate while the kernel ran flat
+    out)."""
+
+    @jax.jit
+    def f(Qpacked, dszs_full, idx):
+        return (jnp.take(Qpacked, idx, axis=0),
+                jnp.take(dszs_full, idx, axis=0))
 
     return f
 
@@ -2552,8 +2594,15 @@ class PallasAll2All:
                                    self.LqPrep, self.ilv, self.sim,
                                    self.wr, self.cef, self.wc)
             Qd = self.Q[device]
-            qsl = _get_qslice(int(Qd.shape[0]), int(Qd.shape[1]), B)
-            q_rows, dsz_b = qsl(Qd, self.DSZ[device], np.int32(lo))
+            if isinstance(lo, (int, np.integer)):
+                qsl = _get_qslice(int(Qd.shape[0]), int(Qd.shape[1]), B)
+                q_rows, dsz_b = qsl(Qd, self.DSZ[device], np.int32(lo))
+            else:
+                # arbitrary row set (sparse-filter path): same program,
+                # gathered inputs
+                qg = _get_qgather(int(Qd.shape[0]), int(Qd.shape[1]), B)
+                q_rows, dsz_b = qg(Qd, self.DSZ[device],
+                                   np.asarray(lo, np.int32))
             args = (gidx.refbuf_p, q_rows, dsz_b,
                     gidx.nrs_dev, gidx.win, gidx.cmat)
             if self.interpret or len(self.devices) > 1:

@@ -325,10 +325,24 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     for k in range(K_)]
             cvec = [align_load_r(cand, k, w[k]["i0"], 128)
                     for k in range(K_)]
+            if "v7loads" in PROF:  # double the dynamic window loads
+                qrow = [jnp.minimum(qrow[k], align_load_r(
+                    qbuf, k, w[k]["i0"] + z, 128)) for k in range(K_)]
+                rrow = [jnp.minimum(rrow[k], align_load_r(
+                    refbuf, 0, w[k]["b0"] + z, WC)) for k in range(K_)]
+                cvec = [jnp.minimum(cvec[k], align_load_r(
+                    cand, k, w[k]["i0"] + z, 128)) for k in range(K_)]
             qcol = [to_col(qrow[k], cmat[:, 0:128])[:WR]
                     for k in range(K_)]
             anch_col = [to_col((cvec[k] > 0).astype(I32),
                                cmat[:, 0:128])[:RR] for k in range(K_)]
+            if "v7tocol" in PROF:  # double the MXU transposes
+                qcol = [jnp.minimum(qcol[k], to_col(
+                    qrow[k] + z, cmat[:, 0:128])[:WR])
+                        for k in range(K_)]
+                anch_col = [jnp.minimum(anch_col[k], to_col(
+                    (cvec[k] > 0).astype(I32) + z,
+                    cmat[:, 0:128])[:RR]) for k in range(K_)]
             E = [(qcol[k] == rrow[k]).astype(I32) for k in range(K_)]
             S = list(E)
             step = 1

@@ -30,7 +30,8 @@ from lzani_tpu.ops import pallas_engine as pe
 
 VIR61 = "/root/reference/test/vir61"
 ILV = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-PHASES = ["base", "v7win", "v7red", "v7ext", "v7store", "v7anchor"]
+PHASES = ["base", "v7win", "v7red", "v7ext", "v7store", "v7anchor",
+          "v7loads", "v7tocol"]
 
 
 def main():
