@@ -325,3 +325,49 @@ def test_auto_kernel_configuration_pins():
     p.max_dist_in_query = 55    # D + msl_eff = 63 -> ceil8 = 64
     eng = pe.PallasAll2All(codes, p, interpret=True)
     assert eng.wr == 64
+
+
+def test_sparse_filter_dispatches_gathered_chunks():
+    """A scattered kmer-db filter must dispatch the UNION of each
+    group's wanted queries densely (gather path), not one unit per
+    contiguous B-query window — the windowed form parsed ~100x more
+    pairs than the 10k Vclust-shape filter kept (DESIGN.md round-4
+    final). Pins both the dispatch count and byte-exactness."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    rng = np.random.RandomState(50)
+    base = rng.randint(0, 4, 300).astype(np.uint8)
+    codes = []
+    for i in range(24):
+        s = base.copy()
+        s[:: (i % 5 + 3)] = (s[:: (i % 5 + 3)] + 1) % 4
+        codes.append(s[: 300 - 2 * i])
+    n = len(codes)
+    # scattered partners: each ref wants 2 far-apart queries
+    indptr = np.zeros(n + 1, np.int64)
+    ids = []
+    for r in range(n):
+        qs = [(r + 7) % n, (r + 17) % n]
+        ids.extend(q for q in qs if q != r)
+        indptr[r + 1] = len(ids)
+    ids = np.array(ids, np.int32)
+    calls = []
+    orig = pe.PallasAll2All.dispatch_group
+
+    def spy(self, gidx, lo, device=None):
+        calls.append(lo)
+        return orig(self, gidx, lo, device)
+
+    pe.PallasAll2All.dispatch_group = spy
+    try:
+        got = pe.all2all_pallas(codes, Params(), filter_csr=(indptr, ids),
+                                interpret=True)
+    finally:
+        pe.PallasAll2All.dispatch_group = orig
+    want = ne.all2all(codes, Params(), filter_csr=(indptr, ids))
+    assert np.array_equal(got, want)
+    # every unit must be a gathered row set (ndarray), one per group:
+    # 24 refs / GROUP=4 = 6 groups, each group's union (8 queries)
+    # fits one B-chunk
+    assert calls and all(isinstance(c, np.ndarray) for c in calls)
+    assert len(calls) == 6, calls
