@@ -193,9 +193,6 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    rc = main()
-    # see __main__.py: a pending device warm-up daemon thread must not
-    # abort interpreter teardown — outputs are written; exit hard
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(rc)
+    # a still-pending device warm-up thread is joined by the hybrid
+    # scheduler's atexit hook (ops/hybrid.py), so normal teardown is safe
+    sys.exit(main())

@@ -17,6 +17,45 @@ from __future__ import annotations
 
 import numpy as np
 
+# ---- warm-thread lifecycle -------------------------------------------------
+# A warm-up thread that is still inside jax import / engine construction /
+# a Mosaic compile when the interpreter exits makes glibc abort at teardown
+# ("FATAL: exception not rethrown", rc=134) — daemon threads are killed
+# mid-C++. The contract: all2all_hybrid sets the cancel flag and does a
+# short bounded join; a thread that outlives it is PARKED here and joined
+# (unbounded) by an atexit hook, which runs while the interpreter is still
+# fully alive. A clean blocking exit always beats an abort; the wait is
+# bounded by the warm-up itself, which checks the cancel flag at every
+# step boundary.
+_parked_warm: list = []
+_parked_lock = None
+_atexit_registered = False
+
+
+def _join_parked_warm():
+    for t, st in list(_parked_warm):
+        st["cancel"] = True
+        t.join()
+    _parked_warm.clear()
+
+
+def _park_warm_thread(t, warm_state):
+    global _parked_lock, _atexit_registered
+    import atexit
+    import threading
+
+    if _parked_lock is None:
+        _parked_lock = threading.Lock()
+    with _parked_lock:
+        # drop entries that have since finished
+        _parked_warm[:] = [(pt, ps) for pt, ps in _parked_warm
+                           if pt.is_alive()]
+        _parked_warm.append((t, warm_state))
+        if not _atexit_registered:
+            atexit.register(_join_parked_warm)
+            _atexit_registered = True
+
+
 def _thread_idle_priority():
     """Best-effort: drop the CALLING thread's scheduling priority to idle
     (Linux per-thread nice 19). The hybrid scheduler runs ALL device-side
@@ -317,6 +356,11 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
             # machinery) are part of the warm-up cost by design: a run
             # that never warms never pays them
             import jax
+
+            if warm_state.get("cancel"):  # run drained during the import
+                warm_state["ok"] = False
+                warm_state["why"] = "cancelled-after-import"
+                return
 
             from .pallas_engine import PallasAll2All
             from .pallas_engine import device_envelope_reason
@@ -631,7 +675,17 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                                    wanted_of(r), out, filter_csr is None,
                                    region_path, rf, rf_lock))
     warm_state["cancel"] = True  # a still-pending warm-up stops at its
-    #                              next step boundary (library callers)
+    #                              next step boundary
+    if warm_started and warm_thread.is_alive():
+        # bounded join: the common case is cancel landing at the next
+        # step boundary within this window. A thread stuck deeper (jax
+        # import, engine construction, Mosaic compile — uninterruptible)
+        # is parked for an unbounded atexit join so interpreter teardown
+        # never kills it mid-C++ (the rc=134 "exception not rethrown"
+        # abort).
+        warm_thread.join(timeout=2.0)
+        if warm_thread.is_alive():
+            _park_warm_thread(warm_thread, warm_state)
     nat_thread.join()
     _restore_priority(prio_tok)
     if nat_exc:

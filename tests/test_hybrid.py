@@ -275,3 +275,83 @@ def test_hybrid_module_is_jax_free_at_import_time():
                        text=True, cwd=os.path.dirname(
                            os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0 and "clean" in r.stdout, r.stderr[-1000:]
+
+
+def test_hybrid_warm_thread_clean_teardown():
+    """Round-4 regression (MULTICHIP_r04 rc=134): a greedy hybrid run
+    whose queue drains while the warm thread is still inside jax import /
+    engine construction left a daemon thread alive at interpreter exit,
+    and glibc aborted at teardown ("FATAL: exception not rethrown").
+    Contract now: all2all_hybrid bounded-joins the warm thread and parks
+    any survivor for an unbounded atexit join, so a pallas-then-greedy-
+    hybrid process exits rc=0 with NO shield (os._exit) anywhere.
+
+    Reference bar: the single binary's clean lifecycle
+    (lz-ani.cpp:339-356 — joined threads, normal exit)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=8'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from lzani_tpu.ops.pallas_engine import all2all_pallas, "
+        "all2all_hybrid\n"
+        "from lzani_tpu.core import native_engine\n"
+        "from lzani_tpu.params import Params\n"
+        "params = Params()\n"
+        "rng = np.random.RandomState(3)\n"
+        "base = rng.randint(0, 4, 300).astype(np.uint8)\n"
+        "codes = []\n"
+        "for i in range(9):\n"
+        "    s = base.copy()\n"
+        "    s[::(i + 4)] = (s[::(i + 4)] + 1) % 4\n"
+        "    codes.append(s[:300 - 9 * i])\n"
+        "devs = jax.devices()[:8]\n"
+        "want = native_engine.all2all(codes, params)\n"
+        "got = all2all_pallas(codes, params, devices=devs, interpret=True)\n"
+        "assert np.array_equal(got, want)\n"
+        "os.environ['LZANI_TPU_HYBRID_GREEDY'] = '1'\n"
+        "goth = all2all_hybrid(codes, params, devices=devs,\n"
+        "                      interpret=True, cpu_threads=2)\n"
+        "assert np.array_equal(goth, want)\n"
+        "print('teardown-ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, cwd=os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0 and "teardown-ok" in r.stdout, (
+        f"rc={r.returncode}\n{r.stderr[-2000:]}")
+
+
+def test_hybrid_small_run_joins_warm_thread_quickly():
+    """Library-caller latency contract: when the queue drains before the
+    warm thread reaches a cancel checkpoint, all2all_hybrid returns after
+    a BOUNDED join (<= ~2 s) and parks the thread instead of blocking on
+    an uninterruptible compile."""
+    import threading
+    import time
+
+    from lzani_tpu.ops import hybrid as hyb
+
+    rng = np.random.RandomState(0)
+    codes = _codes(4, rng, lo=120, hi=200)
+    params = Params()
+    os.environ["LZANI_TPU_HYBRID_GREEDY"] = "1"
+    try:
+        t0 = time.perf_counter()
+        got = all2all_hybrid(codes, params, interpret=True,
+                             cpu_threads=2)
+        el = time.perf_counter() - t0
+    finally:
+        del os.environ["LZANI_TPU_HYBRID_GREEDY"]
+    want = ne.all2all(codes, params)
+    assert np.array_equal(got, want)
+    # any parked thread must be tracked for the atexit join
+    for t in threading.enumerate():
+        if t.name.startswith("Thread") and "_warm" in repr(t):
+            assert any(pt is t for pt, _ in hyb._parked_warm), \
+                "live warm thread not parked for atexit join"
