@@ -2492,6 +2492,10 @@ class PallasAll2All:
             # their scal block on device; see _get_ref_step.step)
             self.DSZ = {d: jax.device_put(dszs_pad, d)
                         for d in self.devices}
+        # per-(device, lo) memo of sliced query windows: the slice is
+        # group-independent, so one jit per lo serves the whole run (see
+        # dispatch_group)
+        self._qrows_cache: dict = {}
 
     EV_CAP = 2048  # downloaded events per query; beyond -> native fallback
 
@@ -2595,8 +2599,28 @@ class PallasAll2All:
                                    self.wr, self.cef, self.wc)
             Qd = self.Q[device]
             if isinstance(lo, (int, np.integer)):
-                qsl = _get_qslice(int(Qd.shape[0]), int(Qd.shape[1]), B)
-                q_rows, dsz_b = qsl(Qd, self.DSZ[device], np.int32(lo))
+                # q_rows depends only on (device, lo) — never the group —
+                # so the slice is computed ONCE per run and reused by all
+                # groups. Through the tunnel every RPC issued while an
+                # execution is in flight blocks until the device frees
+                # (measured scripts/profile_e2e_pallas.py: the per-
+                # dispatch slice jit put ~25-50 ms of pure RTT on the
+                # critical path, x n_units). When n_pad == B the slice
+                # is the identity and the resident matrix is passed
+                # straight through (zero RPCs).
+                qkey = (id(device), int(lo))
+                hit = self._qrows_cache.get(qkey)
+                if hit is not None:
+                    q_rows, dsz_b = hit
+                elif self.n_pad == B and int(lo) == 0:
+                    q_rows, dsz_b = Qd, self.DSZ[device]
+                    self._qrows_cache[qkey] = (q_rows, dsz_b)
+                else:
+                    qsl = _get_qslice(int(Qd.shape[0]), int(Qd.shape[1]),
+                                      B)
+                    q_rows, dsz_b = qsl(Qd, self.DSZ[device],
+                                        np.int32(lo))
+                    self._qrows_cache[qkey] = (q_rows, dsz_b)
             else:
                 # arbitrary row set (sparse-filter path): same program,
                 # gathered inputs
