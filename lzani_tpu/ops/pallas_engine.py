@@ -180,12 +180,35 @@ def align_load_r(ref, row, p, n):
     return pltpu.roll(blk, m - rem, 1)[0:1, :n]
 
 
+def align_load_r8(ref, row, p, n):
+    """align_load_r for an int8-resident buffer: slice the aligned i8
+    superset, WIDEN to i32, then roll — this target supports i8 dynamic
+    slices and i8->i32 extension but neither rotate nor compare on
+    non-32-bit vectors (probed round 5). Storage stays 1 B/symbol in
+    VMEM; transient registers widen as before."""
+    base = (p // 128) * 128
+    rem = p - base
+    m = n + 128
+    blk = ref[row:row + 1, pl.ds(pl.multiple_of(base, 128), m)]
+    return pltpu.roll(blk.astype(I32), m - rem, 1)[0:1, :n]
+
+
 def vext_r(ref, row, p):
     """Scalar ref[row, p] for dynamic p (aligned load + roll)."""
     base = (p // 128) * 128
     rem = p - base
     blk = ref[row:row + 1, pl.ds(pl.multiple_of(base, 128), 128)]
     return pltpu.roll(blk, 128 - rem, 1)[0, 0]
+
+
+def vext_rw(ref, row, p):
+    """vext_r for a sub-32-bit-resident buffer: widen the aligned block
+    to i32 BEFORE the roll (no rotate on non-32-bit vectors on this
+    target)."""
+    base = (p // 128) * 128
+    rem = p - base
+    blk = ref[row:row + 1, pl.ds(pl.multiple_of(base, 128), 128)]
+    return pltpu.roll(blk.astype(I32), 128 - rem, 1)[0, 0]
 
 
 def pack3_rows(codes: np.ndarray) -> np.ndarray:
@@ -2098,6 +2121,19 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
             # sublane block dims divisible by 8 or equal to the array dim
             CE2 = (cef or CEF) if sim else CEF
             Bi = B // ilv
+            if sim:
+                # v7 holds qbuf/refbuf int8-resident (codes 0..5): 1/4
+                # the VMEM of the i32 layout — the enabler for ilv=16
+                # (see make_parse_kernel_sim)
+                qsel = qsel.astype(jnp.int8)
+                refbuf = refbuf.astype(jnp.int8)
+                if LqP <= (1 << 16):
+                    # next_hit values are positions <= dsz < LqP-1024,
+                    # so the biased (v - 32768) layout fits i16 exactly
+                    # — the other 2 MB that ilv=16 needed (the i8+i16
+                    # layout left the 16 MB budget 80 KB short at i32
+                    # next_hit; compile log in DESIGN.md round 5)
+                    nhm = (nhm - 32768).astype(jnp.int16)
             pergb4 = lambda g, b: (g, b, 0, 0)
             perq3 = lambda g, b: (b, 0, 0)
             sharedg3 = lambda g, b: (g, 0, 0)
@@ -2454,16 +2490,18 @@ class PallasAll2All:
         self.sim = bool(self.sim)
         if not self.ilv:
             if self.sim:
-                # v7 interleave width. At the ORIGINAL (80,256)/CEF-512
-                # kernel ilv=4->8 was flat (0.603 -> 0.601: per-pair
-                # window vector work scaled with K); the round-4 minimal
-                # geometry + halved ext chunk cut exactly that work, and
-                # ilv=8 now wins BOTH regimes (vir61 0.489 vs 0.518
-                # s/group; dissim 848.0 vs 757.4 pairs/s; near-identical
-                # +0.8% — DESIGN.md round-4 continued 2). Wider K doubles
-                # per-program VMEM query residency, so auto takes 8 only
-                # at the small bucket and 2 up to the validated envelope.
-                self.ilv = 8 if self.LqP <= (1 << 16) else 2
+                # v7 interleave width. Round 4 took ilv=8 (vir61 0.489
+                # vs 0.518 s/group over 4). Round 5's int8 qbuf/refbuf
+                # + biased-i16 next_hit residency (1/4 resp. 1/2 the
+                # VMEM) made ilv=16 FIT the 16 MB budget (i32 measured
+                # 80 KB over in the compile log) and WIN both regimes:
+                # vir61 540.4 vs 513.6 pairs/s e2e (+5.2%), dissim-150
+                # 807.7 vs 782.3 (+3.2%), min-of-3 interleaved,
+                # oracle-exact (DESIGN.md round 5). The i16 next_hit
+                # only exists at LqP <= 2^16, which is also where the
+                # VMEM math holds — auto takes 16 exactly there and 2
+                # up to the validated envelope.
+                self.ilv = 16 if self.LqP <= (1 << 16) else 2
             else:
                 # v5/v3 path: ilv=2 measured >= v3 on every workload
                 # regime (round 2), inside the validated envelope only.

@@ -47,7 +47,8 @@ from .parse import ParseCfg
 from . import pallas_engine as _pe
 from .pallas_engine import (BIG, CAP, CEF, CH, I32, WCOLS, WROWS,
                             lane_iota, reverse_lanes, to_col,
-                            align_load_r, vext_r)
+                            align_load_r, align_load_r8, vext_r,
+                            vext_rw)
 
 __all__ = ["make_parse_kernel_sim"]
 
@@ -60,7 +61,14 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
     (1,KaP), win (1,WinP), cmat (128,512), cmat2 (CEFV,2CEFV); outputs
-    ev (K,EvL) VMEM, nev (K,1) SMEM."""
+    ev (K,EvL) VMEM, nev (K,1) SMEM.
+
+    Round 5: qbuf and refbuf arrive INT8 (codes 0..5 + sentinels) — 1/4
+    the VMEM residency of the round-4 kernel, which is what lets K=16
+    fit the 16 MB budget (at i32 it measured 104 KB over). Every load
+    widens to i32 via align_load_r8 (slice i8 -> extend -> roll; this
+    target supports neither rotate nor compare on sub-32-bit vectors).
+    cand/next_hit/poslist/win stay i32."""
     MAXEV = EvL // 128 * 16
     mal, msl, mrd, mqd = cfg.mal, cfg.msl, cfg.mrd, cfg.mqd
     reg, aw, am, ar = cfg.reg, cfg.aw, cfg.am, cfg.ar
@@ -69,6 +77,10 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
     NL = mqd + 1
     NS = SAT - msl + 1
     msl_eff = min(msl, CAP)
+    # next_hit arrives biased-i16 at the small query bucket (the
+    # engine converts; pure function of LqP, so the executable-cache
+    # keys already separate the variants via LqP)
+    NH16 = LqP <= (1 << 16)
     assert D + msl_eff <= WROWS, (D, msl_eff)
     assert W + D + msl_eff <= WCOLS, (W, D, msl_eff)
     assert max(mqd, mrd) <= 127
@@ -120,8 +132,8 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
         def exact_lce(k, qs, rs, cap):
             def body(st):
                 off, _ = st
-                qb = align_load_r(qbuf, k, qs + off, CH)
-                rb = align_load_r(refbuf, 0, rs + off, CH)
+                qb = align_load_r8(qbuf, k, qs + off, CH)
+                rb = align_load_r8(refbuf, 0, rs + off, CH)
                 neq = (qb != rb).astype(I32)
                 fm = jnp.min(jnp.where(neq > 0, lane_iota(CH), CH))
                 return off + CH, fm
@@ -142,16 +154,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 CE = CEFV
                 qo = jnp.clip(dpos + base, 0, LqP - CE - 128)
                 ro = jnp.clip(rpos + base, 0, LrP - CE - 128)
-                qb = align_load_r(qbuf, k, qo, CE)
-                rb = align_load_r(refbuf, 0, ro, CE)
+                qb = align_load_r8(qbuf, k, qo, CE)
+                rb = align_load_r8(refbuf, 0, ro, CE)
                 return (qb != rb).astype(I32)
             CE = 128
             sq = dpos - base - CE
             sr = rpos - base - CE
             sh = jnp.clip(jnp.maximum(-sq, -sr), 0, CE)
-            qb = align_load_r(qbuf, k,
+            qb = align_load_r8(qbuf, k,
                               jnp.clip(sq + sh, 0, LqP - CE - 128), CE)
-            rb = align_load_r(refbuf, 0,
+            rb = align_load_r8(refbuf, 0,
                               jnp.clip(sr + sh, 0, LrP - CE - 128), CE)
             m0 = (qb != rb).astype(I32)
             mr = reverse_lanes(m0, cmat[:, 128:256])
@@ -180,69 +192,135 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(I32)
 
-        def ext_first_reduce(miss, total, forward):
-            """First-chunk decision vectors -> (last_sc, done_sc, m_eff,
-            last_v). Pure VPU work on an already-loaded miss vector."""
+        def ext_win_sums_batch(m_effs, forward):
+            """ONE (K, CE) x (CE, 2CE) MXU matmul for ALL pairs' chunk
+            decision sums (round 5): the MXU pipeline cost of a 16-row
+            operand equals a 1-row one, so stacking the K rows makes the
+            per-pair matmul ~K-fold cheaper than the round-4 K separate
+            single-row contractions (v7ext was the top profiled phase,
+            +14.1%). Returns the stacked (K, 2CE) result; callers slice
+            their static row. PROF v7extps A/Bs the per-pair prefix-sum
+            variant through the same interface."""
+            if "v7extps" in PROF:
+                return jnp.concatenate(
+                    [ext_win_sums(m, forward) for m in m_effs], axis=0)
+            M = jnp.concatenate(m_effs, axis=0)
+            return jax.lax.dot_general(
+                M.astype(jnp.float32),
+                cmat2[:, :] if forward else cmat[:, 256:512],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(I32)
+
+        def ext_first_all(dposs, rposs, tots, forward, zoff=None):
+            """First extension chunks for ALL K pairs: loads alternated,
+            decision sums in one batched MXU matmul, per-pair reduces
+            alternated. Returns [(last_sc, done_sc, m_eff, last_v)] per
+            pair (the v5 ext_scan first-iteration contract). zoff (a
+            runtime zero) builds the PROF v7ext doubling twin."""
             CE = CEFV if forward else 128
             io = lane_iota(CE)
-            nv = jnp.minimum(total, CE)
-            valid = io < nv
-            m_eff = jnp.where(valid, miss, 0)
-            W2 = ext_win_sums(m_eff, forward)
-            stop = valid & (W2[:, 0:CE] > am)
-            fs = jnp.min(jnp.where(stop, io, CE), axis=1, keepdims=True)
-            ok = (valid & (m_eff == 0) & (W2[:, CE:2 * CE] == 0)
-                  & (io < fs))
-            last_v = jnp.where(ok, io + 1, 0)
-            P = fs * 1024 + jnp.max(last_v, axis=1, keepdims=True)
-            p_sc = P[0, 0]
-            last_sc = p_sc % 1024
-            done_sc = (p_sc // 1024 < CE) | (nv < CE)
-            return last_sc, done_sc, m_eff, last_v
-
-        def ext_continue(k, dpos, rpos, total, m_eff, last_v, last_sc,
-                         forward):
-            """The rare multi-chunk continuation (v5 big_body verbatim)."""
-            CE = CEFV if forward else 128
-            io = lane_iota(CE)
-
-            def big_body(st):
-                base, m_prev, last_v, _ = st
-                lm = jnp.max(jnp.where(m_prev > 0, io, -1), axis=1,
-                             keepdims=True)
-                run0v = jnp.where(lm >= 0, jnp.minimum(CE - 1 - lm, ar),
-                                  jnp.int32(ar))
-                tail = pltpu.roll(m_prev, aw - 1, 1)
-                tail = jnp.where(io <= aw - 2, tail, 0)
-                nv = jnp.minimum(total - base, CE)
-                miss = ext_load_miss(k, dpos, rpos, base, forward)
-                valid = io < nv
-                m_eff = jnp.where(valid, miss, 0)
-                W2 = ext_win_sums(m_eff, forward)
-                sufs = tail
-                for stp in (1, 2, 4, 8):
-                    sufs = sufs + jnp.where(
-                        io < CE - stp, pltpu.roll(sufs, CE - stp, 1), 0)
-                bad = W2[:, 0:CE] + jnp.where(io <= aw - 2, sufs, 0)
-                stop = valid & (bad > am)
+            z_ = zoff if zoff is not None else 0
+            miss = [ext_load_miss(k, dposs[k] + z_, rposs[k] + z_,
+                                  jnp.int32(0), forward)
+                    for k in range(K)]
+            nvs = [jnp.minimum(tots[k], CE) for k in range(K)]
+            valids = [io < nvs[k] for k in range(K)]
+            m_effs = [jnp.where(valids[k], miss[k], 0) for k in range(K)]
+            W2 = ext_win_sums_batch(m_effs, forward)
+            out = []
+            for k in range(K):
+                W2k = W2[k:k + 1, :]
+                stop = valids[k] & (W2k[:, 0:CE] > am)
                 fs = jnp.min(jnp.where(stop, io, CE), axis=1,
                              keepdims=True)
-                extra = jnp.maximum((ar - 1 - run0v) - io, 0)
-                ok = (valid & (m_eff == 0)
-                      & ((W2[:, CE:2 * CE] + extra) == 0) & (io < fs))
-                last_v = jnp.maximum(last_v,
-                                     jnp.where(ok, base + io + 1, 0))
-                done_sc = (fs[0, 0] < CE) | (nv < CE)
-                return (base + CE, m_eff, last_v, done_sc)
+                ok = (valids[k] & (m_effs[k] == 0)
+                      & (W2k[:, CE:2 * CE] == 0) & (io < fs))
+                last_v = jnp.where(ok, io + 1, 0)
+                P = fs * 1024 + jnp.max(last_v, axis=1, keepdims=True)
+                p_sc = P[0, 0]
+                last_sc = p_sc % 1024
+                done_sc = (p_sc // 1024 < CE) | (nvs[k] < CE)
+                out.append((last_sc, done_sc, m_effs[k], last_v))
+            return out
 
-            def big_cond(st):
-                base, _, _, done_sc = st
-                return (~done_sc) & (base < total)
+        def ext_continue_all(lives0, dposs, rposs, tots, firsts, forward):
+            """Multi-chunk extension continuations for ALL live pairs in
+            LOCKSTEP (round 5, the high-ANI floor lever — DESIGN.md
+            round-4 continued 5): one shared while loop advances every
+            still-live pair by one CE chunk per iteration (wall = MAX of
+            the per-pair chunk counts, not the SUM the per-pair serial
+            conds paid), with the chunk decision sums batched into one
+            MXU matmul. Per-chunk semantics are v5 big_body verbatim;
+            dead pairs' rows ride along masked."""
+            CE = CEFV if forward else 128
+            io = lane_iota(CE)
+            inits = []
+            for k in range(K):
+                inits.extend([jnp.int32(CE), ~lives0[k],
+                              firsts[k][2], firsts[k][3]])
 
-            st = (jnp.int32(CE), m_eff, last_v, jnp.bool_(False))
-            st = jax.lax.while_loop(big_cond, big_body, st)
-            return jax.lax.cond(st[0] > CE, lambda _: jnp.max(st[2]),
-                                lambda _: last_sc, None)
+            def unpack(st):
+                return [st[4 * k:4 * k + 4] for k in range(K)]
+
+            def loop_cond(st):
+                alive = None
+                for k in range(K):
+                    a = (~st[4 * k + 1]) & (st[4 * k] < tots[k])
+                    alive = a if alive is None else (alive | a)
+                return alive
+
+            def loop_body(st):
+                ps = unpack(st)
+                lives = [(~ps[k][1]) & (ps[k][0] < tots[k])
+                         for k in range(K)]
+                miss = [ext_load_miss(k, dposs[k], rposs[k],
+                                      jnp.where(lives[k], ps[k][0], 0),
+                                      forward) for k in range(K)]
+                nvs = [jnp.minimum(tots[k] - ps[k][0], CE)
+                       for k in range(K)]
+                m_effs = [jnp.where(io < nvs[k], miss[k], 0)
+                          for k in range(K)]
+                W2 = ext_win_sums_batch(m_effs, forward)
+                out = []
+                for k in range(K):
+                    base, done, m_prev, last_v = ps[k]
+                    lm = jnp.max(jnp.where(m_prev > 0, io, -1), axis=1,
+                                 keepdims=True)
+                    run0v = jnp.where(lm >= 0,
+                                      jnp.minimum(CE - 1 - lm, ar),
+                                      jnp.int32(ar))
+                    tail = pltpu.roll(m_prev, aw - 1, 1)
+                    tail = jnp.where(io <= aw - 2, tail, 0)
+                    sufs = tail
+                    for stp in (1, 2, 4, 8):
+                        sufs = sufs + jnp.where(
+                            io < CE - stp, pltpu.roll(sufs, CE - stp, 1),
+                            0)
+                    W2k = W2[k:k + 1, :]
+                    bad = W2k[:, 0:CE] + jnp.where(io <= aw - 2, sufs, 0)
+                    stop = (io < nvs[k]) & (bad > am)
+                    fs = jnp.min(jnp.where(stop, io, CE), axis=1,
+                                 keepdims=True)
+                    extra = jnp.maximum((ar - 1 - run0v) - io, 0)
+                    ok = ((io < nvs[k]) & (m_effs[k] == 0)
+                          & ((W2k[:, CE:2 * CE] + extra) == 0)
+                          & (io < fs))
+                    lv2 = jnp.maximum(last_v,
+                                      jnp.where(ok, base + io + 1, 0))
+                    done2 = done | (lives[k]
+                                    & ((fs[0, 0] < CE) | (nvs[k] < CE)))
+                    out.extend([
+                        jnp.where(lives[k], base + CE, base),
+                        done2,
+                        jnp.where(lives[k], m_effs[k], m_prev),
+                        jnp.where(lives[k], lv2, last_v)])
+                return tuple(out)
+
+            st = jax.lax.while_loop(loop_cond, loop_body, tuple(inits))
+            ps = unpack(st)
+            return tuple(
+                jnp.where(lives0[k], jnp.max(ps[k][3]), firsts[k][0])
+                for k in range(K))
 
         def log_event(k, st, i_ev, bpos, blen, bwd, ext, good):
             """v5 log_event, predicated: the record merges into the
@@ -319,16 +397,16 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                             (dszs[k] - msl) - i)
                 w[k]["c_lo"] = (pred - lit_run) - w[k]["b0"]
                 w[k]["off"] = pred - w[k]["b0"]
-            qrow = [align_load_r(qbuf, k, w[k]["i0"], 128)
+            qrow = [align_load_r8(qbuf, k, w[k]["i0"], 128)
                     for k in range(K_)]
-            rrow = [align_load_r(refbuf, 0, w[k]["b0"], WC)
+            rrow = [align_load_r8(refbuf, 0, w[k]["b0"], WC)
                     for k in range(K_)]
             cvec = [align_load_r(cand, k, w[k]["i0"], 128)
                     for k in range(K_)]
             if "v7loads" in PROF:  # double the dynamic window loads
-                qrow = [jnp.minimum(qrow[k], align_load_r(
+                qrow = [jnp.minimum(qrow[k], align_load_r8(
                     qbuf, k, w[k]["i0"] + z, 128)) for k in range(K_)]
-                rrow = [jnp.minimum(rrow[k], align_load_r(
+                rrow = [jnp.minimum(rrow[k], align_load_r8(
                     refbuf, 0, w[k]["b0"] + z, WC)) for k in range(K_)]
                 cvec = [jnp.minimum(cvec[k], align_load_r(
                     cand, k, w[k]["i0"] + z, 128)) for k in range(K_)]
@@ -525,11 +603,11 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                 ps = unpack(st)
                 lives = [ps[k][0] < cnts[k] for k in range(K)]
                 # chunk loads — all pairs, alternated
-                qbs = [align_load_r(qbuf, k,
+                qbs = [align_load_r8(qbuf, k,
                                     jnp.where(lives[k],
                                               i_evs[k] + ps[k][1], 0),
                                     CH) for k in range(K)]
-                rbs = [align_load_r(refbuf, 0,
+                rbs = [align_load_r8(refbuf, 0,
                                     jnp.where(lives[k],
                                               ps[k][4] + ps[k][1], 0),
                                     CH) for k in range(K)]
@@ -537,7 +615,7 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                          lane_iota(CH), CH))
                        for k in range(K)]
                 if "v7anchor" in PROF:  # double the LCE chunk round trip
-                    qb2 = [align_load_r(
+                    qb2 = [align_load_r8(
                         qbuf, k, jnp.where(lives[k],
                                            i_evs[k] + ps[k][1] + z, 0),
                         CH) for k in range(K)]
@@ -582,7 +660,14 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
             i_evs = [None] * K
             desy_att = [None] * K
             to_end = [None] * K
-            js = [vext_r(next_hit, k, sts[k][0]) for k in range(K)]
+            js = [(vext_rw(next_hit, k, sts[k][0]) + 32768) if NH16
+                  else vext_r(next_hit, k, sts[k][0])
+                  for k in range(K)]
+            if "v7probe" in PROF:  # double the next_hit scalar loads
+                js2 = [(vext_rw(next_hit, k, sts[k][0] + z) + 32768)
+                       if NH16 else vext_r(next_hit, k, sts[k][0] + z)
+                       for k in range(K)]
+                js = [jnp.minimum(js[k], js2[k]) for k in range(K)]
             for k in range(K):
                 st = sts[k]
                 if ws is not None:
@@ -594,6 +679,17 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     lmax_u[k] = (pk >> 15) & 63
                     brel_u[k] = (pk >> 6) & 511
                     has_cap[k] = ((pk >> 5) & 1) > 0
+                    if "v7pkdec" in PROF:  # double the pk bit decode
+                        pk2 = pk + z
+                        dd[k] = jnp.minimum(dd[k], pk2 >> 23)
+                        has_anch[k] = has_anch[k] & (
+                            ((pk2 >> 22) & 1) > 0)
+                        sf_u[k] = sf_u[k] & (((pk2 >> 21) & 1) > 0)
+                        lmax_u[k] = jnp.minimum(lmax_u[k],
+                                                (pk2 >> 15) & 63)
+                        brel_u[k] = jnp.minimum(brel_u[k],
+                                                (pk2 >> 6) & 511)
+                        has_cap[k] = has_cap[k] & (((pk2 >> 5) & 1) > 0)
                 else:
                     sync_att[k] = jnp.bool_(False)
                     dd[k] = jnp.int32(0)
@@ -661,6 +757,9 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                 0, WIDX_MAX)
                 word = vext_r(win, 0, widx >> 5)
                 arb = ((word >> (widx & 31)) & 1) > 0
+                if "v7probe" in PROF:  # double the WIN table probe
+                    word2 = vext_r(win, 0, (widx + z) >> 5)
+                    arb = arb & (((word2 >> ((widx + z) & 31)) & 1) > 0)
                 s_found = sf_u[k] | has_cap[k]
                 ta = ((a_pos[k] != 0)
                       & (arb | ~(s_found & (s_pos[k] != 0))))
@@ -696,54 +795,37 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     tl[k] = jnp.where(do_kill, run_len, t)
                     need_bwd[k] = good[k] & (~close[k]) & (tl[k] > 0)
 
-                # --- backward ext: first chunks alternated, rare rest
+                # --- backward ext: first chunks alternated + batched
+                # matmul; rare multi-chunk rest in ONE lockstep loop
                 b_tot = [jnp.where(
                     need_bwd[k],
                     jnp.minimum(jnp.minimum(i_evs[k], bp[k]), tl[k]), 0)
                     for k in range(K)]
-                b_miss = [ext_load_miss(k, i_evs[k], bp[k],
-                                        jnp.int32(0), False)
-                          for k in range(K)]
-                b_first = [ext_first_reduce(b_miss[k], b_tot[k], False)
-                           for k in range(K)]
+                b_first = ext_first_all(i_evs, bp, b_tot, False)
                 if "v7ext" in PROF:  # double the bwd first chunks
-                    b2 = [ext_first_reduce(
-                        ext_load_miss(k, i_evs[k] + z, bp[k] + z,
-                                      jnp.int32(0), False),
-                        b_tot[k], False) for k in range(K)]
+                    b2 = ext_first_all(i_evs, bp, b_tot, False, zoff=z)
                     b_first = [
                         (jnp.minimum(b_first[k][0], b2[k][0]),
                          b_first[k][1] & b2[k][1],
                          b_first[k][2], b_first[k][3])
                         for k in range(K)]
-                any_bmore = None
-                for k in range(K):
-                    m = need_bwd[k] & ~b_first[k][1] & (b_tot[k] > 128)
-                    any_bmore = m if any_bmore is None else (any_bmore | m)
-
-                def bwd_more(_):
-                    out = []
-                    for k in range(K):
-                        def cont(_, k=k):
-                            return ext_continue(
-                                k, i_evs[k], bp[k], b_tot[k],
-                                b_first[k][2], b_first[k][3],
-                                b_first[k][0], False)
-
-                        out.append(jax.lax.cond(
-                            need_bwd[k] & ~b_first[k][1]
-                            & (b_tot[k] > 128),
-                            cont, lambda _, k=k: b_first[k][0], None))
-                    return tuple(out)
+                b_live = [need_bwd[k] & ~b_first[k][1] & (b_tot[k] > 128)
+                          for k in range(K)]
+                any_bmore = b_live[0]
+                for k in range(1, K):
+                    any_bmore = any_bmore | b_live[k]
 
                 bwd = jax.lax.cond(
-                    any_bmore, bwd_more,
+                    any_bmore,
+                    lambda _: ext_continue_all(b_live, i_evs, bp, b_tot,
+                                               b_first, False),
                     lambda _: tuple(b_first[k][0] for k in range(K)),
                     None)
                 bwd = [jnp.where(need_bwd[k], bwd[k], 0)
                        for k in range(K)]
 
-                # --- forward ext: first chunks alternated, rare rest
+                # --- forward ext: first chunks alternated + batched
+                # matmul; rare multi-chunk rest in ONE lockstep loop
                 i2 = [i_evs[k] + bl[k] for k in range(K)]
                 pred2 = [bp[k] + bl[k] for k in range(K)]
                 f_tot = [jnp.where(
@@ -751,42 +833,24 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     jnp.minimum(dszs[k] - i2[k], nr - pred2[k]), 0)
                     for k in range(K)]
                 f_tot = [jnp.maximum(f_tot[k], 0) for k in range(K)]
-                f_miss = [ext_load_miss(k, i2[k], pred2[k],
-                                        jnp.int32(0), True)
-                          for k in range(K)]
-                f_first = [ext_first_reduce(f_miss[k], f_tot[k], True)
-                           for k in range(K)]
+                f_first = ext_first_all(i2, pred2, f_tot, True)
                 if "v7ext" in PROF:  # double the fwd first chunks
-                    f2 = [ext_first_reduce(
-                        ext_load_miss(k, i2[k] + z, pred2[k] + z,
-                                      jnp.int32(0), True),
-                        f_tot[k], True) for k in range(K)]
+                    f2 = ext_first_all(i2, pred2, f_tot, True, zoff=z)
                     f_first = [
                         (jnp.minimum(f_first[k][0], f2[k][0]),
                          f_first[k][1] & f2[k][1],
                          f_first[k][2], f_first[k][3])
                         for k in range(K)]
-                any_fmore = None
-                for k in range(K):
-                    m = good[k] & ~f_first[k][1] & (f_tot[k] > CEFV)
-                    any_fmore = m if any_fmore is None else (any_fmore | m)
-
-                def fwd_more(_):
-                    out = []
-                    for k in range(K):
-                        def cont(_, k=k):
-                            return ext_continue(
-                                k, i2[k], pred2[k], f_tot[k],
-                                f_first[k][2], f_first[k][3],
-                                f_first[k][0], True)
-
-                        out.append(jax.lax.cond(
-                            good[k] & ~f_first[k][1] & (f_tot[k] > CEFV),
-                            cont, lambda _, k=k: f_first[k][0], None))
-                    return tuple(out)
+                f_live = [good[k] & ~f_first[k][1] & (f_tot[k] > CEFV)
+                          for k in range(K)]
+                any_fmore = f_live[0]
+                for k in range(1, K):
+                    any_fmore = any_fmore | f_live[k]
 
                 ext = jax.lax.cond(
-                    any_fmore, fwd_more,
+                    any_fmore,
+                    lambda _: ext_continue_all(f_live, i2, pred2, f_tot,
+                                               f_first, True),
                     lambda _: tuple(f_first[k][0] for k in range(K)),
                     None)
                 ext = [jnp.where(good[k], ext[k], 0) for k in range(K)]
@@ -853,6 +917,17 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                   jnp.where(noev_m, noev[s],
                                             jnp.where(to_end[k], endst[s],
                                                       st[s]))))
+                    if "v7merge" in PROF:  # double the outcome selects
+                        v2 = jnp.where(
+                            good[k], ev_states[k][s],
+                            jnp.where(spurious,
+                                      (dd[k] + 1 + z) if s == 9
+                                      else st[s] + z,
+                                      jnp.where(noev_m, noev[s] + z,
+                                                jnp.where(to_end[k],
+                                                          endst[s] + z,
+                                                          st[s] + z))))
+                        v = jnp.minimum(v, v2)
                     slots.append(v)
                 out.append(tuple(slots))
             return tuple(out)

@@ -31,7 +31,7 @@ from lzani_tpu.ops import pallas_engine as pe
 VIR61 = "/root/reference/test/vir61"
 ILV = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 PHASES = ["base", "v7win", "v7red", "v7ext", "v7store", "v7anchor",
-          "v7loads", "v7tocol"]
+          "v7loads", "v7tocol", "v7probe", "v7pkdec", "v7merge"]
 
 
 def main():

@@ -101,6 +101,13 @@ def main():
     from lzani_tpu.ops.pallas_engine import all2all_pallas
 
     for t in range(max(N_TRIALS // 4, 3)):
+        # each (params, shape, ilv) combo compiles a fresh CPU
+        # executable; the unrolled K=16 kernels are large enough
+        # that accumulated LLVM JIT modules exhaust vm.max_map_count
+        # mid-suite (observed: 'LLVM compilation error: Cannot
+        # allocate memory' with 117 GB free). Drop the dead ones.
+        import jax as _jax
+        _jax.clear_caches()
         pt = rand_params(rng) if t % 2 else Params()
         L = int(rng.randint(260, 900))
         base = rng.randint(0, 4, L).astype(np.uint8)
@@ -111,7 +118,8 @@ def main():
         want = ne.all2all(codes, pt)
         for ilv, sim, tag in (
                 (1, False, "v3"), (2, False, "v5k2"), (4, False, "v5k4"),
-                (2, True, "v7k2"), (4, True, "v7k4"), (8, True, "v7k8")):
+                (2, True, "v7k2"), (4, True, "v7k4"), (8, True, "v7k8"),
+                (16, True, "v7k16")):
             got = all2all_pallas(codes, pt, interpret=True,
                                  ilv=ilv, sim=sim)
             if np.array_equal(got, want):

@@ -309,15 +309,16 @@ def test_out_of_envelope_falls_back_to_native(capfd):
 
 def test_auto_kernel_configuration_pins():
     """The production auto configuration (what dryrun_multichip and the
-    driver bench actually ship): v7 at ilv=4 small-bucket, minimal-legal
-    window rows, halved forward-ext chunk. A deliberate change here must
-    re-run the vir61 + dissimilar A/B gate (CLAUDE.md)."""
+    driver bench actually ship): v7 at ilv=16 small-bucket (round-5
+    i8/i16 residency), minimal-legal window rows, halved forward-ext
+    chunk. A deliberate change here must re-run the vir61 +
+    dissimilar A/B gate (CLAUDE.md)."""
     from lzani_tpu.ops import pallas_engine as pe
 
     rng = np.random.RandomState(40)
     codes = [rng.randint(0, 4, 300).astype(np.uint8) for _ in range(4)]
     eng = pe.PallasAll2All(codes, Params(), interpret=True)
-    assert eng.sim and eng.ilv == 8
+    assert eng.sim and eng.ilv == 16
     assert eng.wr == 48     # ceil8(D + msl_eff) = 48 at defaults
     assert eng.wc == 128    # ceil128(W + D + msl_eff) = 128 at defaults
     assert eng.cef == 256
