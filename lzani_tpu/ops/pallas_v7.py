@@ -611,18 +611,26 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                                     jnp.where(lives[k],
                                               ps[k][4] + ps[k][1], 0),
                                     CH) for k in range(K)]
-                fms = [jnp.min(jnp.where((qbs[k] != rbs[k]),
-                                         lane_iota(CH), CH))
-                       for k in range(K)]
+                # batched first-mismatch: ONE (K, CH) compare + lane-min
+                # instead of K separate compares + K full reduces (round
+                # 5: the ilv=16 profile put the anchor loop at +20.0%,
+                # the top phase — op-issue count, not element count, is
+                # the cost at this width)
+                QA = jnp.concatenate(qbs, axis=0)
+                RA = jnp.concatenate(rbs, axis=0)
+                F = jnp.min(jnp.where(QA != RA, lane_iota(CH), CH),
+                            axis=1, keepdims=True)
+                fms = [F[k, 0] for k in range(K)]
                 if "v7anchor" in PROF:  # double the LCE chunk round trip
                     qb2 = [align_load_r8(
                         qbuf, k, jnp.where(lives[k],
                                            i_evs[k] + ps[k][1] + z, 0),
                         CH) for k in range(K)]
-                    fm2 = [jnp.min(jnp.where((qb2[k] != rbs[k]),
-                                             lane_iota(CH), CH))
+                    QA2 = jnp.concatenate(qb2, axis=0)
+                    F2 = jnp.min(jnp.where(QA2 != RA, lane_iota(CH), CH),
+                                 axis=1, keepdims=True)
+                    fms = [jnp.minimum(fms[k], F2[k, 0])
                            for k in range(K)]
-                    fms = [jnp.minimum(fms[k], fm2[k]) for k in range(K)]
                 out = []
                 for k in range(K):
                     c, off, blen, bpos, pc, cap = ps[k]
