@@ -344,12 +344,17 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
     def _warm():
         nonlocal eng, devices, depth
         _dbg("warm thread entered")
-        if not greedy:
-            # greedy mode is the machinery demonstration: the warm must
-            # not be starvable by the saturated native pool (measured:
-            # at idle priority on a 4-vCPU host the 500-genome engine
-            # construction outlasts a ~40 s queue and the device never
-            # joins — BENCH r4 "warm-up did not complete")
+        if not greedy and warm_state.get("projected_s", 0.0) < 60.0:
+            # Short queue: the warm-up may only consume cycles the
+            # native pool leaves spare — at idle priority a saturated
+            # 4-vCPU pool starves it and the run correctly finishes
+            # native-only. LONG queue (>= 60 s projected): warm at
+            # normal priority — the seconds of engine construction
+            # displace < ~1% of a minutes-long run, while an
+            # idle-priority warm measurably never finishes at all
+            # (r4 bench and the r5 N=1000 probe: cancelled-before-
+            # dispatch after 170 s). Greedy mode always keeps normal
+            # priority (machinery demonstration).
             _thread_idle_priority()
         try:
             # the jax + pallas_engine imports (~1.4 s of Mosaic/pallas
@@ -561,8 +566,10 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                 if greedy:
                     warm_started = True
                 elif el >= 0.5 and pdone > 0:
-                    if (total_pairs - pdone) / (pdone / el) <= warm_min_s:
+                    projected = (total_pairs - pdone) / (pdone / el)
+                    if projected <= warm_min_s:
                         break  # run too small to profit from the device
+                    warm_state["projected_s"] = projected
                     warm_started = True
                 if warm_started:
                     warm_thread.start()

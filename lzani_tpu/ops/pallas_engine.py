@@ -2031,7 +2031,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
                     ilv: int = 1, sim: bool = False, wr: int = 0,
-                    cef: int = 0, wc: int = 0):
+                    cef: int = 0, wc: int = 0, au: int = 1):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
@@ -2044,7 +2044,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv,
                                      WR=wr or None, CEF_=cef or None,
-                                     WC=wc or None)
+                                     WC=wc or None, AU=au)
     elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
@@ -2427,6 +2427,13 @@ class PallasAll2All:
         # (256,512) banded matmul measured 0.558 vs 0.597 s/group —
         # continuations stay CEF-free via the shared rare path)
         self.cef = int(_wos.environ.get("LZANI_TPU_CEF", "0")) or 256
+        # SIMT-loop unroll factor (anchor resolve + ext continuations):
+        # steps per while iteration. All per-step updates are masked by
+        # the per-pair live flags, so a double-step is exactness-safe;
+        # it halves the loop-carry/cond overhead at 2x body code. A/B
+        # knob (LZANI_TPU_AU); threaded through every executable-cache
+        # key like wr/cef/wc.
+        self.au = int(_wos.environ.get("LZANI_TPU_AU", "0")) or 1
         # window-column geometry: auto = minimal legal (128 at default
         # params). Smaller win than the row shrink (-2.5% vir61 vs
         # -7.4%: lanes stream cheaper than sublanes, and col-edge cap
@@ -2628,13 +2635,13 @@ class PallasAll2All:
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
                      self.LqPrep, self.ilv, self.sim, self.wr,
-                     self.cef, self.wc)
+                     self.cef, self.wc, self.au)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
                                    self.LqPrep, self.ilv, self.sim,
-                                   self.wr, self.cef, self.wc)
+                                   self.wr, self.cef, self.wc, self.au)
             Qd = self.Q[device]
             if isinstance(lo, (int, np.integer)):
                 # q_rows depends only on (device, lo) — never the group —

@@ -56,7 +56,7 @@ __all__ = ["make_parse_kernel_sim"]
 def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                           WinP: int, EvL: int, K: int,
                           WR: int | None = None, CEF_: int | None = None,
-                          WC: int | None = None):
+                          WC: int | None = None, AU: int = 1):
     """K-pair predicated-SIMT kernel. Block contract matches
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
@@ -316,7 +316,12 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                         jnp.where(lives[k], lv2, last_v)])
                 return tuple(out)
 
-            st = jax.lax.while_loop(loop_cond, loop_body, tuple(inits))
+            def loop_bodyN(st):
+                for _ in range(AU):   # masked updates: double-step safe
+                    st = loop_body(st)
+                return st
+
+            st = jax.lax.while_loop(loop_cond, loop_bodyN, tuple(inits))
             ps = unpack(st)
             return tuple(
                 jnp.where(lives0[k], jnp.max(ps[k][3]), firsts[k][0])
@@ -651,7 +656,12 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                     out.extend([c2, off2, blen2, bpos2, pc2, cap2])
                 return tuple(out)
 
-            st = jax.lax.while_loop(loop_cond, loop_body, tuple(inits))
+            def loop_bodyN(st):
+                for _ in range(AU):   # masked updates: double-step safe
+                    st = loop_body(st)
+                return st
+
+            st = jax.lax.while_loop(loop_cond, loop_bodyN, tuple(inits))
             ps = unpack(st)
             return ([ps[k][2] for k in range(K)],
                     [ps[k][3] for k in range(K)])
