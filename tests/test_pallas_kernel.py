@@ -372,3 +372,38 @@ def test_sparse_filter_dispatches_gathered_chunks():
     # fits one B-chunk
     assert calls and all(isinstance(c, np.ndarray) for c in calls)
     assert len(calls) == 6, calls
+
+
+def test_qrows_memo_one_slice_per_lo():
+    """Round-5 driver lever: q_rows depends only on (device, lo) — the
+    slice is memoized per engine, and when n_pad == B the resident
+    matrix passes straight through (identity slice, zero RPCs). Through
+    the tunnel every RPC issued while an execution is in flight blocks,
+    so the old per-dispatch slice jit put pure RTT on the critical path
+    of every group (measured 8.68 -> 7.07 s on warm vir61;
+    ops/DESIGN.md round 5)."""
+    from lzani_tpu.ops import pallas_engine as pe
+
+    rng = np.random.RandomState(60)
+    base = rng.randint(0, 4, 300).astype(np.uint8)
+    codes = [np.ascontiguousarray(
+        np.where(rng.rand(300 - 7 * i) < 0.05,
+                 (base[:300 - 7 * i] + 1) % 4,
+                 base[:300 - 7 * i]).astype(np.uint8))
+        for i in range(6)]
+    params = Params()
+    eng = pe.PallasAll2All(codes, params, interpret=True)
+    dev = eng.devices[0]
+    gi = eng.build_group_index([0, 1, 2, 3], dev)
+    assert eng._qrows_cache == {}
+    h = eng.dispatch_group(gi, 0, dev)
+    eng.collect_group(h)
+    assert len(eng._qrows_cache) == 1
+    # n <= 64: n_pad == B, so the cached slice IS the resident matrix
+    (q_rows, dsz_b), = eng._qrows_cache.values()
+    assert q_rows is eng.Q[dev] and dsz_b is eng.DSZ[dev]
+    # second dispatch at the same lo: no new cache entry
+    gi2 = eng.build_group_index([4, 5, -1, -1], dev)
+    h2 = eng.dispatch_group(gi2, 0, dev)
+    eng.collect_group(h2)
+    assert len(eng._qrows_cache) == 1
