@@ -422,13 +422,22 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
         evs = eng.collect_group(handles)
         lo = subs[1]
         n_sub = 0
+
+        def fin_many(r, items):
+            # one replay task per reference row (per-pair futures are
+            # pure submission overhead; see all2all_pallas.drain)
+            for q, ev, slot in items:
+                fin_track(r, q, ev, slot)
+
         for g, r in enumerate(r_list):
+            items = []
             for q, w in subs[0][g].items():
                 slot = ((r, q - 1 if q > r else q)
                         if filter_csr is None else w)
-                pending.append(pool.submit(fin_track, r, q,
-                                           evs[g][q - lo], slot))
+                items.append((q, evs[g][q - lo], slot))
                 n_sub += 1
+            if items:
+                pending.append(pool.submit(fin_many, r, items))
         with tpu_lock:
             tpu_pairs += n_sub
             if urem is not None:

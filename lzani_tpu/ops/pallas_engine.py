@@ -1386,6 +1386,14 @@ def _get_batch_runner(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 # ---------------------------------------------------------------------------
 
 
+def _finalize_many(finalize, r, items):
+    """Replay a batch of (q, ev, slot) pairs for one reference row on a
+    single pool task (see the drain comment: per-pair futures were pure
+    submission overhead)."""
+    for q, ev, slot in items:
+        finalize(r, q, ev, slot)
+
+
 def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    replay_threads: int = 0,
                    region_path: str | None = None, devices=None,
@@ -1594,6 +1602,11 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                    else [eng.collect(handles)])
             n_sub = 0
             for g, r in enumerate(r_list):
+                # ONE replay task per reference row (not per pair):
+                # 3,660 per-pair futures cost real Python/GIL churn on
+                # a 4-vCPU host; per-row batches keep the pool balanced
+                # (<= B pairs each) at 1/B the submission overhead
+                items = []
                 for q, w in subs[g].items():
                     slot = ((r, q - 1 if q > r else q)
                             if filter_csr is None else w)
@@ -1605,8 +1618,10 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
                             print(f"lz-ani-tpu: pair ({r},{q}) fell back "
                                   f"to the native engine (event/anchor "
                                   f"capacity)", file=sys.stderr)
-                    pending.append(pool.submit(finalize, r, q,
-                                               evs[g][b], slot))
+                    items.append((q, evs[g][b], slot))
+                if items:
+                    pending.append(pool.submit(_finalize_many, finalize,
+                                               r, items))
                 n_sub += len(subs[g])
             with done_lock:
                 done_pairs += n_sub
