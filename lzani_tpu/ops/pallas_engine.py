@@ -1656,19 +1656,32 @@ def all2all_pallas(codes, params, filter_csr=None, progress=None,
 
         idx_futs: dict = {}
 
+        def get_unit_inputs(j):
+            dev = eng.device_for(j)
+            idx = get_index(units[j][0], dev)
+            qr = None
+            if isinstance(units[j][1], tuple):
+                # sparse-filter gather: issue the qgather jit from the
+                # pool so its RPC hides inside the current kernel's
+                # device wait instead of serializing the dispatcher
+                # thread (the tunnel blocks any RPC issued while an
+                # execution is in flight — profile_e2e_pallas.py)
+                qr = eng.gather_qrows(units[j][1][0], dev)
+            return idx, qr
+
         def ensure_prefetch(k0):
             for j in range(k0, min(k0 + PREFETCH, len(units))):
                 if j not in idx_futs:
-                    idx_futs[j] = pool.submit(
-                        get_index, units[j][0], eng.device_for(j))
+                    idx_futs[j] = pool.submit(get_unit_inputs, j)
 
         for k, u in enumerate(units):
             ensure_prefetch(k)
-            idx = idx_futs.pop(k).result()
+            idx, qr = idx_futs.pop(k).result()
             if use_group:
                 u1 = u[1][0] if isinstance(u[1], tuple) else u[1]
                 handles = eng.dispatch_group(idx, u1,
-                                             eng.device_for(k))
+                                             eng.device_for(k),
+                                             qrows=qr)
             else:
                 handles = eng.dispatch_range(u[0][0], u[1],
                                              eng.device_for(k), idx=idx)
@@ -2641,8 +2654,22 @@ class PallasAll2All:
             self.params, interpret=self.interpret, device=device,
             LrP=self.LrP_ref, KaP=self.KaP_ref)
 
-    def dispatch_group(self, gidx: PallasGroupIndex, lo: int, device=None):
-        """One fused dispatch for G references x queries [lo, lo+B)."""
+    def gather_qrows(self, idx, device=None):
+        """Sparse-filter query gather for one dispatch's arbitrary row
+        set — callable from a prefetch pool so the RPC overlaps device
+        compute (see all2all_pallas.get_unit_inputs)."""
+        if device is None:
+            device = self.devices[0]
+        with jax.enable_x64(False):
+            Qd = self.Q[device]
+            qg = _get_qgather(int(Qd.shape[0]), int(Qd.shape[1]), self.B)
+            return qg(Qd, self.DSZ[device], np.asarray(idx, np.int32))
+
+    def dispatch_group(self, gidx: PallasGroupIndex, lo: int, device=None,
+                       qrows=None):
+        """One fused dispatch for G references x queries [lo, lo+B).
+        qrows: optional pre-gathered (q_rows, dsz_b) from gather_qrows
+        (sparse-filter prefetch path)."""
         cfg = self.cfg
         if device is None:
             device = self.devices[0]
@@ -2658,7 +2685,9 @@ class PallasAll2All:
                                    self.LqPrep, self.ilv, self.sim,
                                    self.wr, self.cef, self.wc, self.au)
             Qd = self.Q[device]
-            if isinstance(lo, (int, np.integer)):
+            if qrows is not None:
+                q_rows, dsz_b = qrows
+            elif isinstance(lo, (int, np.integer)):
                 # q_rows depends only on (device, lo) — never the group —
                 # so the slice is computed ONCE per run and reused by all
                 # groups. Through the tunnel every RPC issued while an

@@ -355,9 +355,9 @@ def test_sparse_filter_dispatches_gathered_chunks():
     calls = []
     orig = pe.PallasAll2All.dispatch_group
 
-    def spy(self, gidx, lo, device=None):
+    def spy(self, gidx, lo, device=None, qrows=None):
         calls.append(lo)
-        return orig(self, gidx, lo, device)
+        return orig(self, gidx, lo, device, qrows=qrows)
 
     pe.PallasAll2All.dispatch_group = spy
     try:
