@@ -2059,7 +2059,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
                     B: int, G: int, cnt_cap: int, ev_cap: int,
                     interpret: bool, LqPrep: int | None = None,
                     ilv: int = 1, sim: bool = False, wr: int = 0,
-                    cef: int = 0, wc: int = 0, au: int = 1):
+                    cef: int = 0, wc: int = 0, au: int = 1, mu: int = 1):
     """Fused jit for a reference GROUP: G independent join builds + one
     shared query prep + a (G, B) pallas grid — one dispatch per group.
     ilv > 1 selects the v5 latency-interleaved kernel: ilv queries per
@@ -2072,7 +2072,7 @@ def _get_group_step(cfg: ParseCfg, LrP: int, LqP: int, KaP: int, WinP: int,
         assert B % ilv == 0, (B, ilv)
         kern = make_parse_kernel_sim(cfg, LrP, LqP, KaP, WinP, EvL, ilv,
                                      WR=wr or None, CEF_=cef or None,
-                                     WC=wc or None, AU=au)
+                                     WC=wc or None, AU=au, MU=mu)
     elif ilv > 1:
         from .pallas_v5 import make_parse_kernel_ilv
         assert B % ilv == 0, (B, ilv)
@@ -2462,6 +2462,11 @@ class PallasAll2All:
         # knob (LZANI_TPU_AU); threaded through every executable-cache
         # key like wr/cef/wc.
         self.au = int(_wos.environ.get("LZANI_TPU_AU", "0")) or 1
+        # main macro-loop steps per while iteration (same masked-update
+        # safety argument as au: a step where no pair acts is a no-op,
+        # so double-stepping is exact; halves the big loop's carry/cond
+        # overhead at 2x kernel body code). A/B knob (LZANI_TPU_MU).
+        self.mu = int(_wos.environ.get("LZANI_TPU_MU", "0")) or 1
         # window-column geometry: auto = minimal legal (128 at default
         # params). Smaller win than the row shrink (-2.5% vir61 vs
         # -7.4%: lanes stream cheaper than sublanes, and col-edge cap
@@ -2677,13 +2682,14 @@ class PallasAll2All:
         key_parts = ("group", cfg, gidx.LrP, self.LqP, gidx.KaP,
                      gidx.WinP, B, gidx.G, self.CNT_CAP, self.EV_CAP,
                      self.LqPrep, self.ilv, self.sim, self.wr,
-                     self.cef, self.wc, self.au)
+                     self.cef, self.wc, self.au, self.mu)
         with jax.enable_x64(False):
             step = _get_group_step(cfg, gidx.LrP, self.LqP, gidx.KaP,
                                    gidx.WinP, B, gidx.G, self.CNT_CAP,
                                    self.EV_CAP, self.interpret,
                                    self.LqPrep, self.ilv, self.sim,
-                                   self.wr, self.cef, self.wc, self.au)
+                                   self.wr, self.cef, self.wc, self.au,
+                                   self.mu)
             Qd = self.Q[device]
             if qrows is not None:
                 q_rows, dsz_b = qrows

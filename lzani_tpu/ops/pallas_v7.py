@@ -56,7 +56,8 @@ __all__ = ["make_parse_kernel_sim"]
 def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
                           WinP: int, EvL: int, K: int,
                           WR: int | None = None, CEF_: int | None = None,
-                          WC: int | None = None, AU: int = 1):
+                          WC: int | None = None, AU: int = 1,
+                          MU: int = 1):
     """K-pair predicated-SIMT kernel. Block contract matches
     make_parse_kernel_ilv (ops/pallas_v5.py): scal (K,128) SMEM;
     qbuf/cand/next_hit (K,LqP) VMEM; shared refbuf (1,LrP), poslist
@@ -976,12 +977,17 @@ def make_parse_kernel_sim(cfg: ParseCfg, LrP: int, LqP: int, KaP: int,
 
             return jax.lax.cond(any_sync, win_branch, desync_branch, sts)
 
+        def bodyN(sts):
+            for _ in range(MU):   # masked supersteps: double-step safe
+                sts = body(sts)
+            return sts
+
         init = tuple(
             (jnp.int32(0), -dszs[k], jnp.int32(0), jnp.int32(-1),
              jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
              jnp.zeros((1, 128), I32), jnp.int32(0))
             for k in range(K))
-        finals = jax.lax.while_loop(loop_cond, body, init)
+        finals = jax.lax.while_loop(loop_cond, bodyN, init)
 
         for k in range(K):
             fk = finals[k]
