@@ -141,8 +141,30 @@ def main() -> int:
     }
 
     # --- TPU event-log engine ---------------------------------------------
+    # Probe device discovery in a SUBPROCESS first: a down tunnel makes
+    # jax.devices() hang indefinitely in-process (observed: a multi-hour
+    # relay outage where backend init neither failed nor returned), and
+    # a hung bench is worse than a native-only bench.
     dev_rate = None
     if not os.environ.get("BENCH_SKIP_PALLAS"):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=240)
+            if (probe.returncode != 0
+                    or probe.stdout.strip() in ("", "cpu")):
+                result["pallas_error"] = (
+                    "device probe failed/timed out; native-only bench "
+                    f"(rc={probe.returncode})")
+                raise RuntimeError("no device")
+        except subprocess.TimeoutExpired:
+            result["pallas_error"] = ("device discovery hung >240s "
+                                      "(tunnel down); native-only bench")
+        except RuntimeError:
+            pass
+    if not os.environ.get("BENCH_SKIP_PALLAS") \
+            and "pallas_error" not in result:
         try:
             import jax
 
