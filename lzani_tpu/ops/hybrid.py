@@ -192,10 +192,12 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
 
     n = len(codes)
     if cpu_threads is None:
-        # full pool: the driver's own threads are tunnel-bound (mostly
-        # idle) and the replay cost of device-claimed pairs is well
-        # under a core — oversubscription beats reserving one
-        cpu_threads = os.cpu_count() or 1
+        # honor the caller's -t (params.no_threads); when unset (0),
+        # the full pool: the driver's own threads are tunnel-bound
+        # (mostly idle) and the replay cost of device-claimed pairs is
+        # well under a core — oversubscription beats reserving one
+        cpu_threads = (getattr(params, "no_threads", 0)
+                       or os.cpu_count() or 1)
     if cpu_threads <= 0:
         from .pallas_engine import all2all_pallas
         return all2all_pallas(codes, params, filter_csr=filter_csr,
@@ -391,6 +393,24 @@ def all2all_hybrid(codes, params, filter_csr=None, progress=None,
                     warm_state["ok"] = False
                     warm_state["why"] = "cancelled-before-engine"
                     return
+                if not greedy:
+                    # re-project before the expensive construction (pack
+                    # + upload): the gate's projection used the pool's
+                    # EARLY rate, which understates the steady rate on
+                    # fast regimes — measured: a clustered mix that
+                    # drained in 26 s projected > 60 s at gate time and
+                    # the normal-priority construction cost the run 9 s.
+                    # By now the rate estimate spans the import seconds;
+                    # if the queue no longer outlasts the threshold,
+                    # demote to idle so construction only rides spare
+                    # cycles (it will then usually be cancelled, which
+                    # is the correct outcome for a short queue).
+                    el = time.perf_counter() - t_run0
+                    pdone = int(nat_prog[1])
+                    if pdone > 0 and el > 0:
+                        rem_s = (total_pairs - pdone) / (pdone / el)
+                        if rem_s < 60.0:
+                            _thread_idle_priority()
                 depth = 2 * len(devices)
                 _dbg("warm: devices resolved")
                 eng = PallasAll2All(codes, params, devices=devices,
