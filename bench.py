@@ -325,6 +325,42 @@ def main() -> int:
                     finally:
                         os.environ.pop("LZANI_TPU_HYBRID_GREEDY", None)
 
+                    # --- spare-host hybrid win (honest throttle) ------
+                    # The production host shape: the native pool leaves
+                    # the device's host-side work (dispatch prep,
+                    # downloads, replay) spare cores — v5e hosts have
+                    # ~56 vCPU/chip, so the pool is never the whole
+                    # machine. Emulated here by pinning BOTH runs to
+                    # half the cores: same pool width, so any hybrid
+                    # win is pure device contribution. This is the
+                    # honest-throttle combined-silicon artifact (no
+                    # greedy override; duty controller live); on the
+                    # fully-saturated-host keys above the throttle
+                    # correctly refuses instead.
+                    import copy as _copy
+
+                    p2 = _copy.copy(p)
+                    p2.no_threads = max(1, threads // 2)
+                    t0 = time.perf_counter()
+                    native_engine.all2all(dcodes, p2)
+                    s_nat_dt = time.perf_counter() - t0
+                    s_st = {}
+                    t0 = time.perf_counter()
+                    s_out = all2all_hybrid(dcodes, p2, stats=s_st)
+                    s_hyb_dt = time.perf_counter() - t0
+                    result["spare_pool_threads"] = p2.no_threads
+                    result["spare_native_pairs_per_s"] = round(
+                        dpairs / s_nat_dt, 1)
+                    result["spare_hybrid_pairs_per_s"] = round(
+                        dpairs / s_hyb_dt, 1)
+                    result["spare_hybrid_tpu_pairs"] = s_st.get(
+                        "tpu_pairs")
+                    result["spare_hybrid_vs_native"] = round(
+                        s_nat_dt / s_hyb_dt, 4)
+                    result["spare_hybrid_exact"] = bool(
+                        np.array_equal(s_out, d_ref))
+                    result["spare_hybrid_why"] = hybrid_why(s_st)
+
         except Exception as e:  # report, never fail the bench
             result["pallas_error"] = str(e)[:200]
 
